@@ -1,0 +1,59 @@
+#!/usr/bin/env python
+"""Driver benchmark: prints ONE JSON line with the headline metric.
+
+Headline: particle-steps/sec/chip on the 1M-particle splash scene (BASELINE
+config 3), celllist backend.  ``vs_baseline`` is the ratio against the
+north-star target of 1e9 particle-steps/sec/chip (BASELINE.md), since the
+reference publishes no numbers of its own.
+
+Usage: python bench.py [--scene SCENE] [-n N] [--steps STEPS] [--backend B]
+"""
+
+import argparse
+import json
+import sys
+
+TARGET_PPS = 1e9  # BASELINE.md: >= 1e9 particle-steps/sec/chip @ 1M particles
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scene", default="splash")
+    ap.add_argument("-n", "--num-particles", type=int, default=1_000_000)
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--warmup", type=int, default=5)
+    ap.add_argument("--backend", default=None, help="default: pallas on TPU, celllist elsewhere")
+    args = ap.parse_args()
+
+    import jax
+
+    backend = args.backend
+    if backend is None:
+        backend = "celllist"  # switched to pallas once the fused kernel lands
+
+    from smoothed_particle_hydrodynamics_tpu.utils.benchmark import run_benchmark
+
+    result = run_benchmark(
+        scene=args.scene,
+        backend=backend,
+        steps=args.steps,
+        warmup=args.warmup,
+        overrides={"num_particles": args.num_particles},
+    )
+    line = {
+        "metric": "particle-steps/sec/chip@1M",
+        "value": result["value"],
+        "unit": "particle-steps/s",
+        "vs_baseline": result["value"] / TARGET_PPS,
+        "ms_per_step": result["ms_per_step"],
+        "scene": result["scene"],
+        "backend": result["backend"],
+        "num_particles": result["num_particles"],
+        "device": result["device"],
+    }
+    print(json.dumps(line))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,190 @@
+"""Command-line entry points.
+
+The reference's only CLI is ``./sph r`` for a headless run
+(/root/reference/src/main.cpp:23-28); everything else is the Qt GUI.  Here the
+terminal is the interface:
+
+* ``run``    — simulate a scene, stream out/*.txt diagnostics, checkpoints,
+               optional GIF render.
+* ``bench``  — throughput benchmark (same harness as bench.py).
+* ``render`` — render a saved state/checkpoint to PNG.
+* ``info``   — print the resolved config for a scene.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+from .config import SphConfig
+from .models import make_scene
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--scene", default="disk", help="scene name (see models.SCENES)")
+    p.add_argument("-n", "--num-particles", type=int, default=None)
+    p.add_argument("--backend", default="celllist",
+                   choices=["celllist", "pairwise", "pallas"])
+    p.add_argument("--compat", action="store_true",
+                   help="reproduce the C++ reference's quirks (SURVEY.md §2.1)")
+    p.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
+                   help="override any SphConfig field, e.g. --set viscosity=0.1")
+
+
+def _apply_overrides(args) -> dict:
+    overrides = {}
+    if args.num_particles:
+        overrides["num_particles"] = args.num_particles
+    if args.compat:
+        overrides["compat"] = True
+    for kv in args.set:
+        key, _, value = kv.partition("=")
+        field_types = {f.name: f.type for f in SphConfig.__dataclass_fields__.values()}
+        if key not in field_types:
+            raise SystemExit(f"unknown config field: {key}")
+        try:
+            overrides[key] = json.loads(value)
+        except json.JSONDecodeError:
+            overrides[key] = value
+    return overrides
+
+
+def cmd_run(args) -> int:
+    import jax
+
+    from .ops.step import run_steps
+    from .utils.diagnostics import DiagnosticsWriter, detect_blowup
+    from .utils import io as ckpt_io
+
+    overrides = _apply_overrides(args)
+    if args.resume:
+        path = ckpt_io.latest_checkpoint(args.checkpoint_dir)
+        if path is None:
+            raise SystemExit(f"--resume: no checkpoint under {args.checkpoint_dir}")
+        start_step, cfg, state = ckpt_io.load_checkpoint(path)
+        print(f"resumed from {path} at step {start_step}")
+    else:
+        cfg, state = make_scene(args.scene, **overrides)
+        start_step = 0
+    cfg.validate()
+    total = (cfg.num_steps + 1) if args.steps is None else args.steps
+
+    from functools import partial
+
+    run = jax.jit(partial(run_steps, cfg, backend=args.backend),
+                  static_argnames=("num_steps",))
+
+    print(f"scene={args.scene} n={cfg.num_particles} steps={total} "
+          f"backend={args.backend} devices={jax.devices()}")
+    frames = []
+    with DiagnosticsWriter(args.out) as writer:
+        ckpt_io.write_run_metadata(args.out, cfg, {"scene": args.scene,
+                                                   "backend": args.backend})
+        done = start_step
+        t_start = time.perf_counter()
+        while done < total:
+            nblock = min(args.block, total - done)
+            t0 = time.perf_counter()
+            state, diags = run(state, num_steps=nblock)
+            jax.block_until_ready(state)
+            dt_ms = (time.perf_counter() - t0) * 1000.0 / nblock
+            writer.write_block(done, diags, {"step": dt_ms})
+            bad, why = detect_blowup(diags)
+            if bad:
+                ckpt_io.save_checkpoint(args.checkpoint_dir, done + nblock, cfg, state)
+                print(f"ABORT at step {done + nblock}: {why} (checkpoint saved)",
+                      file=sys.stderr)
+                return 2
+            done += nblock
+            if args.checkpoint_every and (done % args.checkpoint_every) < nblock:
+                ckpt_io.save_checkpoint(args.checkpoint_dir, done, cfg, state)
+            if args.render and (done % args.render_every) < nblock:
+                from .utils.render import render_frame
+
+                frames.append(render_frame(cfg, state))
+            if not args.quiet:
+                pps = cfg.num_particles * nblock / max(time.perf_counter() - t0, 1e-9)
+                print(f"step {done}/{total}  {dt_ms:.2f} ms/step  "
+                      f"{pps:.3e} particle-steps/s")
+        elapsed = time.perf_counter() - t_start
+    ckpt_io.save_state(f"{args.out}/final_state.npz", state)
+    if frames:
+        from .utils.render import save_gif
+
+        save_gif(frames, f"{args.out}/sph_anim.gif")
+        print(f"wrote {args.out}/sph_anim.gif ({len(frames)} frames)")
+    print(f"done: {total - start_step} steps in {elapsed:.1f}s; "
+          f"diagnostics in {args.out}/")
+    return 0
+
+
+def cmd_bench(args) -> int:
+    from .utils.benchmark import run_benchmark
+
+    overrides = _apply_overrides(args)
+    result = run_benchmark(scene=args.scene, backend=args.backend,
+                           steps=args.steps or 100, warmup=args.warmup,
+                           overrides=overrides)
+    print(json.dumps(result))
+    return 0
+
+
+def cmd_render(args) -> int:
+    from .init import load_state
+    from .utils.render import render_frame, save_png
+
+    cfg, _ = make_scene(args.scene, **_apply_overrides(args))
+    state = load_state(args.state)
+    save_png(render_frame(cfg, state), args.output)
+    print(f"wrote {args.output}")
+    return 0
+
+
+def cmd_info(args) -> int:
+    cfg, state = make_scene(args.scene, **_apply_overrides(args))
+    print(cfg.to_json())
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser("sph-tpu", description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("run", help="run a simulation")
+    _add_common(p)
+    p.add_argument("--steps", type=int, default=None,
+                   help="override step count (default: cfg.num_steps+1 like the reference)")
+    p.add_argument("--out", default="out")
+    p.add_argument("--block", type=int, default=50, help="steps per scan block")
+    p.add_argument("--checkpoint-every", type=int, default=0)
+    p.add_argument("--checkpoint-dir", default="checkpoints")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--render", action="store_true", help="accumulate GIF frames")
+    p.add_argument("--render-every", type=int, default=10)
+    p.add_argument("--quiet", action="store_true")
+    p.set_defaults(fn=cmd_run)
+
+    p = sub.add_parser("bench", help="throughput benchmark")
+    _add_common(p)
+    p.add_argument("--steps", type=int, default=None)
+    p.add_argument("--warmup", type=int, default=10)
+    p.set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser("render", help="render a saved state to PNG")
+    _add_common(p)
+    p.add_argument("state", help="path to .npz state/checkpoint")
+    p.add_argument("-o", "--output", default="frame.png")
+    p.set_defaults(fn=cmd_render)
+
+    p = sub.add_parser("info", help="print resolved scene config")
+    _add_common(p)
+    p.set_defaults(fn=cmd_info)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,198 @@
+"""Sorted cell-list backend: the production XLA compute path.
+
+Replaces the reference's per-particle bucket walk
+(/root/reference/src/sph.cpp:484-692, SSE inner loop at :651-663) with a
+fully static-shape pipeline:
+
+* particles sorted by linear cell id (see ``grid.py``) — x-adjacent cells are
+  contiguous in sorted order, so each particle's neighborhood is a small set
+  of **contiguous index ranges**: 9 ranges for the full 27-cell stencil, 4 for
+  the octant stencil (the reference's 2x2x2 trick, README "Optimizations";
+  valid because the interaction radius h is half the 2h cell size);
+* per particle, a fixed-size slice of ``cfg.range_slice`` candidates is taken
+  from each range (truncation is counted, not silently dropped);
+* density and force sweeps run as ``lax.map`` over particle chunks so the
+  candidate tensors ([chunk, R, S]) stay small enough to live on-chip while
+  XLA fuses the gather + mask + reduce.
+
+Unlike the reference there is no 32-neighbor random subsample in default mode:
+all in-range candidates contribute (physically correct); ``compat`` parity
+paths live in ``..compat``.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SphConfig
+from ..state import ParticleState
+from . import physics
+from .grid import Grid, build_grid, unsort
+
+_f32 = jnp.float32
+
+
+class CellListAux(NamedTuple):
+    """Diagnostics from a cell-list sweep."""
+
+    neighbor_count: jnp.ndarray   # [N] int32 (original particle order)
+    overflow_cells: jnp.ndarray   # scalar int32
+    truncated_ranges: jnp.ndarray  # scalar int32: candidate ranges longer than range_slice
+
+
+def _num_ranges(cfg: SphConfig) -> int:
+    return 4 if cfg.neighborhood == "octant" else 9
+
+
+def candidate_ranges(cfg: SphConfig, g: Grid, pos_sorted: jnp.ndarray
+                     ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per sorted particle: [N, R] contiguous candidate ranges [start, end).
+
+    Octant mode picks the x/y/z half-space by in-cell orientation exactly like
+    the reference (/root/reference/src/sph.cpp:504-515): offset +1 if the
+    in-cell coordinate exceeds h, else -1.
+    """
+    n = pos_sorted.shape[0]
+    cx, cy, cz = g.coords[:, 0], g.coords[:, 1], g.coords[:, 2]
+
+    if cfg.neighborhood == "octant":
+        orient = pos_sorted - g.coords.astype(jnp.float32) * _f32(cfg.cell_size)
+        s = jnp.where(orient > _f32(cfg.h), 1, -1).astype(jnp.int32)  # [N,3]
+        # x-range: {cx, cx+sx} -> contiguous [min, max]
+        x0 = jnp.minimum(cx, cx + s[:, 0])
+        x1 = jnp.maximum(cx, cx + s[:, 0])
+        dy_opts = jnp.stack([jnp.zeros_like(cy), jnp.zeros_like(cy), s[:, 1], s[:, 1]], 1)
+        dz_opts = jnp.stack([jnp.zeros_like(cz), s[:, 2], jnp.zeros_like(cz), s[:, 2]], 1)
+    else:  # full 27-cell stencil: 9 (dy,dz) pairs, x-range of 3 cells
+        x0 = cx - 1
+        x1 = cx + 1
+        dyz = jnp.asarray([(dy, dz) for dy in (-1, 0, 1) for dz in (-1, 0, 1)], jnp.int32)
+        dy_opts = jnp.broadcast_to(dyz[:, 0], (n, 9))
+        dz_opts = jnp.broadcast_to(dyz[:, 1], (n, 9))
+
+    x0 = jnp.clip(x0, 0, cfg.grid_nx - 1)
+    x1 = jnp.clip(x1, 0, cfg.grid_nx - 1)
+    y = cy[:, None] + dy_opts
+    z = cz[:, None] + dz_opts
+    y_ok = (y >= 0) & (y < cfg.grid_ny)
+    z_ok = (z >= 0) & (z < cfg.grid_nz)
+    ok = y_ok & z_ok
+
+    y_c = jnp.clip(y, 0, cfg.grid_ny - 1)
+    z_c = jnp.clip(z, 0, cfg.grid_nz - 1)
+    cid_lo = (z_c * cfg.grid_ny + y_c) * cfg.grid_nx + x0[:, None]
+    cid_hi = (z_c * cfg.grid_ny + y_c) * cfg.grid_nx + x1[:, None]
+    start = jnp.where(ok, g.cell_start[cid_lo], 0)
+    end = jnp.where(ok, g.cell_end[cid_hi], 0)
+    return start.astype(jnp.int32), end.astype(jnp.int32)
+
+
+def _chunked(fn, row_args: tuple, n: int, chunk: int):
+    """Pad rows to a multiple of ``chunk`` and lax.map ``fn`` over chunks.
+
+    ``row_args`` is a tuple of [N, ...] arrays; ``fn`` receives the chunked
+    tuple ([chunk, ...]) and must return a pytree of [chunk, ...] arrays.
+    """
+    n_pad = -(-n // chunk) * chunk
+    padded = tuple(
+        jnp.pad(a, ((0, n_pad - n),) + ((0, 0),) * (a.ndim - 1)) for a in row_args
+    )
+    stacked = tuple(a.reshape((n_pad // chunk, chunk) + a.shape[1:]) for a in padded)
+    out = jax.lax.map(fn, stacked)
+    return jax.tree.map(
+        lambda a: a.reshape((n_pad,) + a.shape[2:])[:n], out
+    )
+
+
+def _candidate_block(cfg: SphConfig, start: jnp.ndarray, end: jnp.ndarray,
+                     own_idx: jnp.ndarray, n_total: int
+                     ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Expand [chunk, R] ranges into candidate indices + masks.
+
+    Returns (idx [chunk, R*S] clamped indices, mask [chunk, R*S],
+             truncated [chunk] per-row truncated-range count).
+    """
+    s_len = cfg.range_slice
+    offs = jnp.arange(s_len, dtype=jnp.int32)
+    idx = start[:, :, None] + offs[None, None, :]            # [chunk, R, S]
+    in_range = idx < end[:, :, None]
+    not_self = idx != own_idx[:, None, None]
+    mask = in_range & not_self
+    truncated = jnp.sum((end - start) > s_len, axis=-1)
+    idx = jnp.clip(idx, 0, n_total - 1)
+    chunk = start.shape[0]
+    return (idx.reshape(chunk, -1), mask.reshape(chunk, -1),
+            truncated.astype(jnp.int32))
+
+
+def compute_step_quantities(
+    cfg: SphConfig, state: ParticleState, chunk: int = 1024,
+) -> tuple[jnp.ndarray, jnp.ndarray, CellListAux]:
+    """Full per-step field evaluation: density + acceleration + diagnostics.
+
+    Mirrors the reference's step phases voxelize -> findNeighbors ->
+    density -> acceleration (/root/reference/src/sph.cpp:190-278) as two
+    chunked sweeps over the sorted particle set.  Returns
+    ``(acceleration [N,3], density [N], aux)`` in original particle order.
+    """
+    n = state.position.shape[0]
+    g = build_grid(cfg, state.position)
+    pos_s = state.position[g.order]
+    vel_s = state.velocity[g.order]
+    mass_s = state.mass[g.order]
+    rng_start, rng_end = candidate_ranges(cfg, g, pos_s)
+    own_idx = jnp.arange(n, dtype=jnp.int32)
+
+    h2 = _f32(cfg.h2)
+    sim_scale = _f32(cfg.sim_scale)
+
+    # ---- sweep 1: density (+ neighbor count) ---------------------------------
+    def density_chunk(args):
+        start, end, own, pos_i, m_i = args
+        idx, mask, truncated = _candidate_block(cfg, start, end, own, n)
+        pos_j = pos_s[idx]                                    # [chunk, K, 3]
+        m_j = mass_s[idx]
+        diff = pos_i[:, None, :] - pos_j
+        d2 = jnp.sum(diff * diff, axis=-1)
+        mask = mask & (d2 < h2)                               # strict, like the SSE cmplt
+        d = jnp.sqrt(d2) * sim_scale
+        rho = physics.density_sum(cfg, m_j, d, mask, m_self=m_i)
+        ncount = jnp.sum(mask, axis=-1).astype(jnp.int32)
+        return rho, ncount, truncated
+
+    rho_s, ncount_s, truncated = _chunked(
+        density_chunk, (rng_start, rng_end, own_idx, pos_s, mass_s), n, chunk)
+
+    # ---- sweep 2: forces -------------------------------------------------------
+    def force_chunk(args):
+        start, end, own, pos_i, vel_i, rho_i = args
+        idx, mask, _ = _candidate_block(cfg, start, end, own, n)
+        pos_j = pos_s[idx]
+        vel_j = vel_s[idx]
+        m_j = mass_s[idx]
+        rho_j = rho_s[idx]
+        diff = pos_i[:, None, :] - pos_j
+        d2 = jnp.sum(diff * diff, axis=-1)
+        mask = mask & (d2 < h2)
+        d = jnp.sqrt(d2) * sim_scale
+        acc = physics.sph_acceleration(
+            cfg, pos_i=pos_i, vel_i=vel_i, rho_i=rho_i,
+            pos_j=pos_j, vel_j=vel_j, rho_j=rho_j, m_j=m_j, d=d, mask=mask)
+        return acc
+
+    acc_s = _chunked(
+        force_chunk, (rng_start, rng_end, own_idx, pos_s, vel_s, rho_s), n, chunk)
+
+    acc_s = acc_s + physics.central_gravity(cfg, pos_s)
+    acc_s = acc_s + jnp.asarray(cfg.gravity, jnp.float32)
+    acc_s = physics.cfl_clamp(cfg, acc_s)
+
+    aux = CellListAux(
+        neighbor_count=unsort(g.order, ncount_s),
+        overflow_cells=g.overflow_cells,
+        truncated_ranges=jnp.sum(truncated).astype(jnp.int32),
+    )
+    return unsort(g.order, acc_s), unsort(g.order, rho_s), aux

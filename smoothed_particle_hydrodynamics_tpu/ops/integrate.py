@@ -1,0 +1,122 @@
+"""Time integration: leapfrog KDK + optional boundary reflection + diagnostics.
+
+Reference: /root/reference/src/sph.cpp:937-1022.  Notable reference semantics
+reproduced here:
+
+* the closing kick re-evaluates **only** the central point-mass gravity at the
+  drifted position (src/sph.cpp:972-995) — hydro forces enter the opening kick
+  only (``second_kick="gravity"``);
+* out-of-box particles are *not* reflected (the reflection code at
+  src/sph.cpp:1025-1148 is dead) — ``boundary="none"``;
+* energy tallies skip NaN via a ``dot > 0`` guard (src/sph.cpp:1001-1013), and
+  in compat mode the potential-energy term divides by (d+eps)^3 (quirk 8).
+
+Default mode fixes quirk 8 (PE = -G M m / (d+eps)) and computes the real
+angular momentum |sum m (r-c) x v| (the reference's accumulation is commented
+out so it always logs 0, src/sph.cpp:1010-1011).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ..config import SphConfig
+from ..state import ParticleState
+from .physics import central_gravity
+
+_f32 = jnp.float32
+
+
+class EnergyTally(NamedTuple):
+    kinetic: jnp.ndarray
+    potential: jnp.ndarray
+    angular_momentum: jnp.ndarray
+
+
+def kdk_integrate(cfg: SphConfig, state: ParticleState,
+                  acceleration: jnp.ndarray) -> tuple[ParticleState, EnergyTally]:
+    """One leapfrog kick-drift-kick update of positions and velocities.
+
+    ``acceleration`` is the full (hydro + gravity, CFL-clamped) acceleration at
+    the pre-step positions.  Returns the updated state and the energy tally
+    computed exactly where the reference computes it (post-kick velocities,
+    drifted positions).
+    """
+    dt = _f32(cfg.dt)
+    pos_dt = dt * _f32(1.0 / cfg.sim_scale)
+
+    v_half = state.velocity + acceleration * (dt * 0.5)
+    new_pos = state.position + v_half * pos_dt
+
+    if cfg.second_kick == "gravity":
+        a2 = central_gravity(cfg, new_pos)
+        new_vel = v_half + a2 * dt
+    elif cfg.second_kick == "none":
+        new_vel = v_half
+    else:  # "full" is applied by the step orchestrator (needs a force re-eval)
+        raise ValueError("second_kick='full' must be handled by the step function")
+
+    if cfg.boundary == "reflect":
+        new_pos, new_vel = reflect_boundary(cfg, state.position, new_pos, new_vel)
+
+    tally = energy_tally(cfg, new_pos, new_vel, state.mass)
+    new_state = state._replace(position=new_pos, velocity=new_vel,
+                               acceleration=acceleration)
+    return new_state, tally
+
+
+def energy_tally(cfg: SphConfig, pos: jnp.ndarray, vel: jnp.ndarray,
+                 mass: jnp.ndarray) -> EnergyTally:
+    """KE/PE/|L| sums matching /root/reference/src/sph.cpp:997-1013."""
+    center = jnp.asarray(cfg.central_pos, jnp.float32)
+    rel = (pos - center) * _f32(cfg.sim_scale)
+    dist = jnp.linalg.norm(rel, axis=-1)
+    v2 = jnp.sum(vel * vel, axis=-1)
+    ok = v2 > 0.0  # the reference's NaN skip
+    gm = _f32(cfg.grav_constant) * _f32(cfg.central_mass)
+    soft = _f32(cfg.softening_eff)
+    ke = jnp.sum(jnp.where(ok, 0.5 * mass * v2, 0.0))
+    if cfg.compat:
+        # quirk 8: 1/(d+eps)^3 instead of 1/(d+eps)
+        pe = -jnp.sum(jnp.where(ok, gm * mass / (dist + soft) ** 3, 0.0))
+        ang = jnp.zeros((), jnp.float32)  # reference always logs 0
+    else:
+        pe = -jnp.sum(jnp.where(ok, gm * mass / (dist + soft), 0.0))
+        l_vec = jnp.sum(mass[:, None] * jnp.cross(rel, vel), axis=0)
+        ang = jnp.linalg.norm(l_vec)
+    return EnergyTally(ke, pe, ang)
+
+
+def reflect_boundary(cfg: SphConfig, old_pos: jnp.ndarray, new_pos: jnp.ndarray,
+                     new_vel: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Reflect particles off the box walls with damping.
+
+    Rebuilt from the reference's dead reflection path
+    (/root/reference/src/sph.cpp:1025-1148): on crossing a wall, the particle
+    is placed at the intersection point plus the reflected velocity times the
+    damped remaining time; the wall-normal velocity component flips sign.
+    This branch-free version handles all six walls at once.
+    """
+    box = jnp.asarray(cfg.box_max, jnp.float32)
+    dt = _f32(cfg.dt)
+
+    below = new_pos < 0.0
+    above = new_pos > box
+    crossed = below | above
+
+    safe_vel = jnp.where(new_vel == 0.0, 1e-30, new_vel)
+    t_low = -old_pos / safe_vel
+    t_high = (box - old_pos) / safe_vel
+    t_hit = jnp.where(below, t_low, jnp.where(above, t_high, 0.0))
+
+    reflected_vel = jnp.where(crossed, -new_vel, new_vel)
+    intersection = old_pos + new_vel * t_hit
+    remaining = jnp.maximum(dt - t_hit, 0.0)
+    bounced = intersection + reflected_vel * (remaining * _f32(cfg.damping))
+
+    out_pos = jnp.where(crossed, bounced, new_pos)
+    # Numerical safety: keep strictly inside so binning never clamps.
+    out_pos = jnp.clip(out_pos, 0.0, box)
+    return out_pos, reflected_vel

@@ -1,0 +1,112 @@
+"""Step orchestration: one physics step and the scanned whole-run loop.
+
+The reference's ``SPH::step`` sequences voxelize -> findNeighbors -> density ->
+(pressure inlined) -> acceleration -> integrate on a worker thread
+(/root/reference/src/sph.cpp:190-304).  Here a step is one pure function
+``state -> (state, diagnostics)``; a whole run is ``lax.scan`` over it, traced
+once and compiled once.  Thread control (src/sph.cpp:120-147) has no TPU
+counterpart — dispatch is synchronous, execution is async on-device.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Literal
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SphConfig
+from ..state import ParticleState, StepDiagnostics
+from . import celllist, pairwise
+from .integrate import kdk_integrate
+
+Backend = Literal["celllist", "pairwise", "pallas"]
+
+
+def compute_forces(cfg: SphConfig, state: ParticleState, backend: Backend = "celllist"
+                   ) -> tuple[jnp.ndarray, jnp.ndarray, celllist.CellListAux]:
+    """(acceleration, density, aux) for the current positions/velocities."""
+    if backend == "celllist":
+        return celllist.compute_step_quantities(cfg, state)
+    if backend == "pallas":
+        from . import pallas_step
+
+        return pallas_step.compute_step_quantities(cfg, state)
+    if backend == "pairwise":
+        rho = pairwise.compute_density(cfg, state)
+        acc = pairwise.compute_acceleration(cfg, state, rho)
+        aux = celllist.CellListAux(
+            neighbor_count=pairwise.neighbor_counts(cfg, state),
+            overflow_cells=jnp.zeros((), jnp.int32),
+            truncated_ranges=jnp.zeros((), jnp.int32),
+        )
+        return acc, rho, aux
+    raise ValueError(f"unknown backend: {backend}")
+
+
+def step(cfg: SphConfig, state: ParticleState, backend: Backend = "celllist"
+         ) -> tuple[ParticleState, StepDiagnostics]:
+    """One full physics step (forces + KDK integration + diagnostics)."""
+    acc, rho, aux = compute_forces(cfg, state, backend)
+    state = state._replace(density=rho, neighbor_count=aux.neighbor_count)
+    new_state, tally = kdk_integrate(cfg, state, acc)
+    nc = aux.neighbor_count
+    diag = StepDiagnostics(
+        kinetic_energy=tally.kinetic,
+        potential_energy=tally.potential,
+        angular_momentum=tally.angular_momentum,
+        neighbor_mean=jnp.mean(nc.astype(jnp.float32)),
+        neighbor_max=jnp.max(nc),
+        neighbor_min=jnp.min(nc),
+        overflow_cells=aux.overflow_cells,
+    )
+    return new_state, diag
+
+
+def make_step(cfg: SphConfig, backend: Backend = "celllist",
+              donate: bool = True) -> Callable[[ParticleState], tuple[ParticleState, StepDiagnostics]]:
+    """A jitted single-step function with the config baked in."""
+    f = partial(step, cfg, backend=backend)
+    return jax.jit(f, donate_argnums=(0,) if donate else ())
+
+
+def run_steps(cfg: SphConfig, state: ParticleState, num_steps: int,
+              backend: Backend = "celllist") -> tuple[ParticleState, StepDiagnostics]:
+    """``num_steps`` steps under one ``lax.scan``; diagnostics stacked per step.
+
+    This is the whole-run loop the reference implements as a QThread while-loop
+    (/root/reference/src/sph.cpp:171-181), compiled as a single XLA program.
+    """
+
+    def body(carry, _):
+        new_state, diag = step(cfg, carry, backend)
+        return new_state, diag
+
+    final, diags = jax.lax.scan(body, state, None, length=num_steps)
+    return final, diags
+
+
+def simulate(cfg: SphConfig, state: ParticleState, backend: Backend = "celllist",
+             steps_per_block: int = 50, callback=None) -> tuple[ParticleState, StepDiagnostics]:
+    """Full simulation honouring cfg.num_steps, in scan blocks.
+
+    Runs ``lax.scan`` blocks of ``steps_per_block`` under jit and invokes
+    ``callback(step_index, state, diags_block)`` on host between blocks (for
+    file diagnostics, rendering, checkpointing) — the TPU analogue of the
+    reference's per-step file writes (src/sph.cpp:176-178).
+    """
+    total = cfg.num_steps + 1  # ref loop runs stepCount <= totalSteps
+    run = jax.jit(partial(run_steps, cfg, backend=backend),
+                  static_argnames=("num_steps",))
+    all_diags = []
+    done = 0
+    while done < total:
+        n = min(steps_per_block, total - done)
+        state, diags = run(state, num_steps=n)
+        if callback is not None:
+            callback(done, state, diags)
+        all_diags.append(diags)
+        done += n
+    merged = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *all_diags)
+    return state, merged
