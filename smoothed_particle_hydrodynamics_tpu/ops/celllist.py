@@ -128,6 +128,95 @@ def _candidate_block(cfg: SphConfig, start: jnp.ndarray, end: jnp.ndarray,
             truncated.astype(jnp.int32))
 
 
+class Prepared(NamedTuple):
+    """Sorted-order arrays + candidate ranges shared by both sweeps."""
+
+    grid: Grid
+    pos_s: jnp.ndarray       # [N,3]
+    vel_s: jnp.ndarray       # [N,3]
+    mass_s: jnp.ndarray      # [N]
+    rng_start: jnp.ndarray   # [N,R]
+    rng_end: jnp.ndarray     # [N,R]
+
+
+def prepare(cfg: SphConfig, state: ParticleState) -> Prepared:
+    """Binning + sort + candidate ranges — the 'voxelize/findNeighbors' analog."""
+    g = build_grid(cfg, state.position)
+    pos_s = state.position[g.order]
+    rng_start, rng_end = candidate_ranges(cfg, g, pos_s)
+    return Prepared(
+        grid=g,
+        pos_s=pos_s,
+        vel_s=state.velocity[g.order],
+        mass_s=state.mass[g.order],
+        rng_start=rng_start,
+        rng_end=rng_end,
+    )
+
+
+def density_rows(cfg: SphConfig, pos_s, mass_s, rng_start, rng_end, own_idx,
+                 pos_i, m_i, chunk: int = 1024):
+    """Density sweep over a row block.
+
+    ``pos_s/mass_s`` are the FULL sorted arrays (gather sources);
+    the remaining args are per-row and may be any contiguous block.
+    Returns (rho, ncount, truncated) for the block rows.
+    """
+    n_total = pos_s.shape[0]
+    n_rows = rng_start.shape[0]
+    h2 = _f32(cfg.h2)
+    sim_scale = _f32(cfg.sim_scale)
+
+    def density_chunk(args):
+        start, end, own, p_i, mm_i = args
+        idx, mask, truncated = _candidate_block(cfg, start, end, own, n_total)
+        pos_j = pos_s[idx]                                    # [chunk, K, 3]
+        m_j = mass_s[idx]
+        diff = p_i[:, None, :] - pos_j
+        d2 = jnp.sum(diff * diff, axis=-1)
+        mask = mask & (d2 < h2)                               # strict, like the SSE cmplt
+        d = jnp.sqrt(d2) * sim_scale
+        rho = physics.density_sum(cfg, m_j, d, mask, m_self=mm_i)
+        ncount = jnp.sum(mask, axis=-1).astype(jnp.int32)
+        return rho, ncount, truncated
+
+    return _chunked(density_chunk, (rng_start, rng_end, own_idx, pos_i, m_i),
+                    n_rows, min(chunk, n_rows))
+
+
+def force_rows(cfg: SphConfig, pos_s, vel_s, mass_s, rho_s,
+               rng_start, rng_end, own_idx, pos_i, vel_i, rho_i,
+               chunk: int = 1024):
+    """Force sweep over a row block (needs the FULL rho_s of sweep 1)."""
+    n_total = pos_s.shape[0]
+    n_rows = rng_start.shape[0]
+    h2 = _f32(cfg.h2)
+    sim_scale = _f32(cfg.sim_scale)
+
+    def force_chunk(args):
+        start, end, own, p_i, v_i, r_i = args
+        idx, mask, _ = _candidate_block(cfg, start, end, own, n_total)
+        pos_j = pos_s[idx]
+        vel_j = vel_s[idx]
+        m_j = mass_s[idx]
+        rho_j = rho_s[idx]
+        diff = p_i[:, None, :] - pos_j
+        d2 = jnp.sum(diff * diff, axis=-1)
+        mask = mask & (d2 < h2)
+        d = jnp.sqrt(d2) * sim_scale
+        acc = physics.sph_acceleration(
+            cfg, pos_i=p_i, vel_i=v_i, rho_i=r_i,
+            pos_j=pos_j, vel_j=vel_j, rho_j=rho_j, m_j=m_j, d=d, mask=mask)
+        return acc
+
+    acc = _chunked(force_chunk,
+                   (rng_start, rng_end, own_idx, pos_i, vel_i, rho_i),
+                   n_rows, min(chunk, n_rows))
+    acc = acc + physics.central_gravity(cfg, pos_i)
+    acc = acc + jnp.asarray(cfg.gravity, jnp.float32)
+    return physics.cfl_clamp(cfg, acc)
+
+
 def compute_step_quantities(
     cfg: SphConfig, state: ParticleState, chunk: int = 1024,
 ) -> tuple[jnp.ndarray, jnp.ndarray, CellListAux]:
@@ -139,57 +228,18 @@ def compute_step_quantities(
     ``(acceleration [N,3], density [N], aux)`` in original particle order.
     """
     n = state.position.shape[0]
-    g = build_grid(cfg, state.position)
-    pos_s = state.position[g.order]
-    vel_s = state.velocity[g.order]
-    mass_s = state.mass[g.order]
-    rng_start, rng_end = candidate_ranges(cfg, g, pos_s)
+    p = prepare(cfg, state)
     own_idx = jnp.arange(n, dtype=jnp.int32)
 
-    h2 = _f32(cfg.h2)
-    sim_scale = _f32(cfg.sim_scale)
+    rho_s, ncount_s, truncated = density_rows(
+        cfg, p.pos_s, p.mass_s, p.rng_start, p.rng_end, own_idx,
+        p.pos_s, p.mass_s, chunk=chunk)
 
-    # ---- sweep 1: density (+ neighbor count) ---------------------------------
-    def density_chunk(args):
-        start, end, own, pos_i, m_i = args
-        idx, mask, truncated = _candidate_block(cfg, start, end, own, n)
-        pos_j = pos_s[idx]                                    # [chunk, K, 3]
-        m_j = mass_s[idx]
-        diff = pos_i[:, None, :] - pos_j
-        d2 = jnp.sum(diff * diff, axis=-1)
-        mask = mask & (d2 < h2)                               # strict, like the SSE cmplt
-        d = jnp.sqrt(d2) * sim_scale
-        rho = physics.density_sum(cfg, m_j, d, mask, m_self=m_i)
-        ncount = jnp.sum(mask, axis=-1).astype(jnp.int32)
-        return rho, ncount, truncated
+    acc_s = force_rows(
+        cfg, p.pos_s, p.vel_s, p.mass_s, rho_s,
+        p.rng_start, p.rng_end, own_idx, p.pos_s, p.vel_s, rho_s, chunk=chunk)
 
-    rho_s, ncount_s, truncated = _chunked(
-        density_chunk, (rng_start, rng_end, own_idx, pos_s, mass_s), n, chunk)
-
-    # ---- sweep 2: forces -------------------------------------------------------
-    def force_chunk(args):
-        start, end, own, pos_i, vel_i, rho_i = args
-        idx, mask, _ = _candidate_block(cfg, start, end, own, n)
-        pos_j = pos_s[idx]
-        vel_j = vel_s[idx]
-        m_j = mass_s[idx]
-        rho_j = rho_s[idx]
-        diff = pos_i[:, None, :] - pos_j
-        d2 = jnp.sum(diff * diff, axis=-1)
-        mask = mask & (d2 < h2)
-        d = jnp.sqrt(d2) * sim_scale
-        acc = physics.sph_acceleration(
-            cfg, pos_i=pos_i, vel_i=vel_i, rho_i=rho_i,
-            pos_j=pos_j, vel_j=vel_j, rho_j=rho_j, m_j=m_j, d=d, mask=mask)
-        return acc
-
-    acc_s = _chunked(
-        force_chunk, (rng_start, rng_end, own_idx, pos_s, vel_s, rho_s), n, chunk)
-
-    acc_s = acc_s + physics.central_gravity(cfg, pos_s)
-    acc_s = acc_s + jnp.asarray(cfg.gravity, jnp.float32)
-    acc_s = physics.cfl_clamp(cfg, acc_s)
-
+    g = p.grid
     aux = CellListAux(
         neighbor_count=unsort(g.order, ncount_s),
         overflow_cells=g.overflow_cells,

@@ -1,0 +1,10 @@
+"""Multi-chip execution: device mesh, sharded step, collectives.
+
+The reference has zero multi-device code (SURVEY.md §2, parallelism
+inventory); this package *introduces* the distributed layer as first-class:
+spatial decomposition over a ``jax.sharding.Mesh`` with XLA collectives over
+ICI."""
+
+from .sharding import make_mesh, make_sharded_step, shard_state, step_sharded
+
+__all__ = ["make_mesh", "make_sharded_step", "shard_state", "step_sharded"]
