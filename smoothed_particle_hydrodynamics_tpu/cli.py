@@ -26,7 +26,7 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--scene", default="disk", help="scene name (see models.SCENES)")
     p.add_argument("-n", "--num-particles", type=int, default=None)
     p.add_argument("--backend", default="celllist",
-                   choices=["celllist", "pairwise", "pallas"])
+                   choices=["celllist", "pairwise", "pallas", "compat"])
     p.add_argument("--compat", action="store_true",
                    help="reproduce the C++ reference's quirks (SURVEY.md §2.1)")
     p.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",

@@ -83,6 +83,10 @@ class SphConfig:
     # "cell27" = full 3x3x3 superset (always safe)
     neighborhood: NeighborhoodMode = "octant"
 
+    # --- pallas kernel tuning ---------------------------------------------------
+    pallas_block_rows: int = 256    # sorted particles per kernel grid step
+    pallas_window: int = 768        # candidate DMA window (lane-aligned)
+
     # ---------------------------------------------------------------------------
     # Derived constants (float32-faithful to /root/reference/src/sph.cpp:46-95)
     # ---------------------------------------------------------------------------

@@ -47,6 +47,15 @@ def _num_ranges(cfg: SphConfig) -> int:
     return 4 if cfg.neighborhood == "octant" else 9
 
 
+def _shift(a: jnp.ndarray, d: int, fill) -> jnp.ndarray:
+    """a[c + d] over a flat [C] array; out-of-array reads become ``fill``."""
+    if d == 0:
+        return a
+    if d > 0:
+        return jnp.concatenate([a[d:], jnp.full((d,), fill, a.dtype)])
+    return jnp.concatenate([jnp.full((-d,), fill, a.dtype), a[:d]])
+
+
 def candidate_ranges(cfg: SphConfig, g: Grid, pos_sorted: jnp.ndarray
                      ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Per sorted particle: [N, R] contiguous candidate ranges [start, end).
@@ -54,39 +63,67 @@ def candidate_ranges(cfg: SphConfig, g: Grid, pos_sorted: jnp.ndarray
     Octant mode picks the x/y/z half-space by in-cell orientation exactly like
     the reference (/root/reference/src/sph.cpp:504-515): offset +1 if the
     in-cell coordinate exceeds h, else -1.
+
+    Implementation: per-particle gathers of cell offsets are ~10x more
+    expensive on TPU than row gathers, so the ranges are assembled from a
+    per-CELL table [C, 9, 4] built with shifted views of cell_start/cell_end
+    (pure slices, no gathers), fetched with ONE row gather by cell id, then
+    narrowed per particle with elementwise sign selects.
     """
-    n = pos_sorted.shape[0]
-    cx, cy, cz = g.coords[:, 0], g.coords[:, 1], g.coords[:, 2]
+    nx, ny, nz = cfg.grid_nx, cfg.grid_ny, cfg.grid_nz
+    c_arange = jnp.arange(cfg.num_cells, dtype=jnp.int32)
+    xc = c_arange % nx
+    yc = (c_arange // nx) % ny
+    zc = c_arange // (nx * ny)
 
-    if cfg.neighborhood == "octant":
-        orient = pos_sorted - g.coords.astype(jnp.float32) * _f32(cfg.cell_size)
-        s = jnp.where(orient > _f32(cfg.h), 1, -1).astype(jnp.int32)  # [N,3]
-        # x-range: {cx, cx+sx} -> contiguous [min, max]
-        x0 = jnp.minimum(cx, cx + s[:, 0])
-        x1 = jnp.maximum(cx, cx + s[:, 0])
-        dy_opts = jnp.stack([jnp.zeros_like(cy), jnp.zeros_like(cy), s[:, 1], s[:, 1]], 1)
-        dz_opts = jnp.stack([jnp.zeros_like(cz), s[:, 2], jnp.zeros_like(cz), s[:, 2]], 1)
-    else:  # full 27-cell stencil: 9 (dy,dz) pairs, x-range of 3 cells
-        x0 = cx - 1
-        x1 = cx + 1
-        dyz = jnp.asarray([(dy, dz) for dy in (-1, 0, 1) for dz in (-1, 0, 1)], jnp.int32)
-        dy_opts = jnp.broadcast_to(dyz[:, 0], (n, 9))
-        dz_opts = jnp.broadcast_to(dyz[:, 1], (n, 9))
+    # Per-cell, per-rod ((dy,dz) in row-major (-1,0,1)^2 order) range pieces:
+    #   s_lo = start of cell (x-1, y+dy, z+dz)   (x==0 -> start of x)
+    #   s_0  = start of cell (x,   y+dy, z+dz)
+    #   e_0  = end   of cell (x,   y+dy, z+dz)
+    #   e_hi = end   of cell (x+1, y+dy, z+dz)   (x==nx-1 -> end of x)
+    pieces = []
+    for dy in (-1, 0, 1):
+        for dz in (-1, 0, 1):
+            delta = (dz * ny + dy) * nx
+            ok = ((yc + dy >= 0) & (yc + dy < ny)
+                  & (zc + dz >= 0) & (zc + dz < nz))
+            s_0 = _shift(g.cell_start, delta, 0)
+            e_0 = _shift(g.cell_end, delta, 0)
+            s_lo = jnp.where(xc > 0, _shift(g.cell_start, delta - 1, 0), s_0)
+            e_hi = jnp.where(xc < nx - 1, _shift(g.cell_end, delta + 1, 0), e_0)
+            zero = jnp.zeros_like(s_0)
+            pieces.append(jnp.where(ok, s_lo, zero))
+            pieces.append(jnp.where(ok, s_0, zero))
+            pieces.append(jnp.where(ok, e_0, zero))
+            pieces.append(jnp.where(ok, e_hi, zero))
+    table = jnp.stack(pieces, axis=1)                      # [C, 36]
 
-    x0 = jnp.clip(x0, 0, cfg.grid_nx - 1)
-    x1 = jnp.clip(x1, 0, cfg.grid_nx - 1)
-    y = cy[:, None] + dy_opts
-    z = cz[:, None] + dz_opts
-    y_ok = (y >= 0) & (y < cfg.grid_ny)
-    z_ok = (z >= 0) & (z < cfg.grid_nz)
-    ok = y_ok & z_ok
+    rows = table[g.cell_ids]                               # ONE row gather [N, 36]
+    rows = rows.reshape(-1, 9, 4)
 
-    y_c = jnp.clip(y, 0, cfg.grid_ny - 1)
-    z_c = jnp.clip(z, 0, cfg.grid_nz - 1)
-    cid_lo = (z_c * cfg.grid_ny + y_c) * cfg.grid_nx + x0[:, None]
-    cid_hi = (z_c * cfg.grid_ny + y_c) * cfg.grid_nx + x1[:, None]
-    start = jnp.where(ok, g.cell_start[cid_lo], 0)
-    end = jnp.where(ok, g.cell_end[cid_hi], 0)
+    if cfg.neighborhood == "cell27":
+        start = rows[:, :, 0]                              # s_lo of all 9 rods
+        end = rows[:, :, 3]                                # e_hi of all 9 rods
+        return start.astype(jnp.int32), end.astype(jnp.int32)
+
+    # octant: pick 4 rods by the y/z half-space signs, then narrow x by sx.
+    orient = pos_sorted - g.coords.astype(jnp.float32) * _f32(cfg.cell_size)
+    s = orient > _f32(cfg.h)                               # [N,3] bool: +1 if True
+    sx, sy, sz = s[:, 0], s[:, 1], s[:, 2]
+
+    def rod(dy_idx, dz_idx):                               # indices in (-1,0,1)+1
+        return rows[:, dy_idx * 3 + dz_idx, :]             # [N, 4]
+
+    r00 = rod(1, 1)                                        # (0,0)
+    r0z = jnp.where(sz[:, None], rod(1, 2), rod(1, 0))     # (0, sz)
+    ry0 = jnp.where(sy[:, None], rod(2, 1), rod(0, 1))     # (sy, 0)
+    ryz = jnp.where(sy[:, None],
+                    jnp.where(sz[:, None], rod(2, 2), rod(2, 0)),
+                    jnp.where(sz[:, None], rod(0, 2), rod(0, 0)))  # (sy, sz)
+
+    quad = jnp.stack([r00, r0z, ry0, ryz], axis=1)         # [N, 4 rods, 4 pieces]
+    start = jnp.where(sx[:, None], quad[:, :, 1], quad[:, :, 0])   # s_0 / s_lo
+    end = jnp.where(sx[:, None], quad[:, :, 3], quad[:, :, 2])     # e_hi / e_0
     return start.astype(jnp.int32), end.astype(jnp.int32)
 
 
@@ -140,15 +177,22 @@ class Prepared(NamedTuple):
 
 
 def prepare(cfg: SphConfig, state: ParticleState) -> Prepared:
-    """Binning + sort + candidate ranges — the 'voxelize/findNeighbors' analog."""
+    """Binning + sort + candidate ranges — the 'voxelize/findNeighbors' analog.
+
+    All fields are permuted with ONE row gather of a stacked [N, 7] matrix
+    (row gathers of wide rows are ~cheap on TPU; per-field gathers are not).
+    """
     g = build_grid(cfg, state.position)
-    pos_s = state.position[g.order]
+    stacked = jnp.concatenate(
+        [state.position, state.velocity, state.mass[:, None]], axis=1)
+    stacked_s = stacked[g.order]
+    pos_s = stacked_s[:, 0:3]
     rng_start, rng_end = candidate_ranges(cfg, g, pos_s)
     return Prepared(
         grid=g,
         pos_s=pos_s,
-        vel_s=state.velocity[g.order],
-        mass_s=state.mass[g.order],
+        vel_s=stacked_s[:, 3:6],
+        mass_s=stacked_s[:, 6],
         rng_start=rng_start,
         rng_end=rng_end,
     )

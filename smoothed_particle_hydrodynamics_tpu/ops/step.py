@@ -21,7 +21,7 @@ from ..state import ParticleState, StepDiagnostics
 from . import celllist, pairwise
 from .integrate import kdk_integrate
 
-Backend = Literal["celllist", "pairwise", "pallas"]
+Backend = Literal["celllist", "pairwise", "pallas", "compat"]
 
 
 def compute_forces(cfg: SphConfig, state: ParticleState, backend: Backend = "celllist"
@@ -33,6 +33,10 @@ def compute_forces(cfg: SphConfig, state: ParticleState, backend: Backend = "cel
         from . import pallas_step
 
         return pallas_step.compute_step_quantities(cfg, state)
+    if backend == "compat":
+        from ..compat.step import compute_compat_quantities
+
+        return compute_compat_quantities(cfg, state)
     if backend == "pairwise":
         rho = pairwise.compute_density(cfg, state)
         acc = pairwise.compute_acceleration(cfg, state, rho)
@@ -48,6 +52,10 @@ def compute_forces(cfg: SphConfig, state: ParticleState, backend: Backend = "cel
 def step(cfg: SphConfig, state: ParticleState, backend: Backend = "celllist"
          ) -> tuple[ParticleState, StepDiagnostics]:
     """One full physics step (forces + KDK integration + diagnostics)."""
+    if backend == "compat" or (cfg.compat and backend != "pairwise"):
+        from ..compat.step import compat_step
+
+        return compat_step(cfg, state)
     acc, rho, aux = compute_forces(cfg, state, backend)
     state = state._replace(density=rho, neighbor_count=aux.neighbor_count)
     new_state, tally = kdk_integrate(cfg, state, acc)

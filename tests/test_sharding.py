@@ -70,7 +70,7 @@ def test_mesh_sizes():
 
 
 def test_indivisible_particle_count_rejected():
-    cfg, state = make_case(n=1000)  # not divisible by 8
+    cfg, state = make_case(n=1001)  # not divisible by 8
     mesh = make_mesh(8)
     with pytest.raises(ValueError, match="divisible"):
         step_sharded(cfg, mesh, state)
