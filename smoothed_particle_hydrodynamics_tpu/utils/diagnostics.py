@@ -32,14 +32,29 @@ from ..state import StepDiagnostics
 
 @dataclass
 class DiagnosticsWriter:
-    """Streams per-step diagnostics to the reference-compatible files."""
+    """Streams per-step diagnostics to the reference-compatible files.
+
+    With ``use_native=True`` (default: auto-detect) rows are handed to the
+    background-thread writer in ``native/sphio.cpp`` so file IO never blocks
+    the dispatch thread.
+    """
 
     out_dir: str = "out"
     write_jsonl: bool = True
+    use_native: bool | None = None
     _files: dict[str, IO] = field(default_factory=dict, repr=False)
+    _native: object = field(default=None, repr=False)
 
     def __post_init__(self):
         os.makedirs(self.out_dir, exist_ok=True)
+        if self.use_native is None:
+            from . import native as native_mod
+
+            self.use_native = native_mod.have_native()
+        if self.use_native:
+            from .native import AsyncFileWriter
+
+            self._native = AsyncFileWriter()
         self._files["energy"] = self._open("energy.txt")
         self._files["energy"].write("Step, Kinetic Energy, Potential Energy, Total Energy\n")
         self._files["angmom"] = self._open("angularmomentum.txt")
@@ -53,7 +68,10 @@ class DiagnosticsWriter:
             self._files["jsonl"] = self._open("diagnostics.jsonl")
 
     def _open(self, name: str) -> IO:
-        return open(os.path.join(self.out_dir, name), "w", buffering=1 << 16)
+        path = os.path.join(self.out_dir, name)
+        if self._native is not None:
+            return _NativeStream(self._native, path)
+        return open(path, "w", buffering=1 << 16)
 
     def write_block(self, first_step: int, diags: StepDiagnostics,
                     phase_ms: dict[str, float] | None = None) -> None:
@@ -102,12 +120,31 @@ class DiagnosticsWriter:
         for f in self._files.values():
             f.close()
         self._files.clear()
+        if self._native is not None:
+            self._native.close()
+            self._native = None
 
     def __enter__(self):
         return self
 
     def __exit__(self, *exc):
         self.close()
+
+
+class _NativeStream:
+    """File-like shim routing writes through the native async writer."""
+
+    def __init__(self, writer, path: str):
+        self._writer = writer
+        self._path = path
+        self._first = True
+
+    def write(self, text: str) -> None:
+        self._writer.write(self._path, text, append=not self._first)
+        self._first = False
+
+    def close(self) -> None:
+        self._writer.flush()
 
 
 def detect_blowup(diags: StepDiagnostics) -> tuple[bool, str]:
