@@ -148,6 +148,46 @@ def cmd_info(args) -> int:
     return 0
 
 
+def cmd_parity(args) -> int:
+    """Step the compat pipeline from a golden dump and report per-step errors."""
+    import glob
+
+    import jax
+    import numpy as np
+    from functools import partial
+
+    from .compat import golden as G
+    from .compat.step import compat_step
+    from .state import ParticleState
+
+    files = sorted(glob.glob(f"{args.golden}/state_*.bin"))
+    if len(files) < 2:
+        raise SystemExit(f"need >= 2 golden dumps under {args.golden} "
+                         "(generate with tools/build_reference.sh + golden_gen)")
+    g0 = G.load_golden(files[0])
+    cfg = SphConfig(num_particles=g0.n, cell_capacity=args.cell_capacity)
+    step_fn = jax.jit(partial(compat_step, cfg))
+    state = ParticleState.from_arrays(g0.position, g0.velocity, mass=g0.mass)
+
+    worst = 0.0
+    for path in files[1:args.steps + 1 if args.steps else None]:
+        state, _ = step_fn(state)
+        g = G.load_golden(path)
+        rho = np.asarray(state.density)
+        l2 = float(np.linalg.norm(rho - g.density)
+                   / max(np.linalg.norm(g.density), 1e-30))
+        nc_ok = (np.asarray(state.neighbor_count) == g.neighbor_count).mean()
+        pos_l2 = float(np.linalg.norm(np.asarray(state.position) - g.position)
+                       / np.linalg.norm(g.position))
+        worst = max(worst, l2)
+        print(f"{path}: density_L2={l2:.3e} pos_L2={pos_l2:.3e} "
+              f"neighbor_count_match={nc_ok:.4f}")
+    target = 1e-3
+    print(f"worst density L2 = {worst:.3e}  (north-star target <= {target:g}): "
+          f"{'PASS' if worst <= target else 'FAIL'}")
+    return 0 if worst <= target else 1
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser("sph-tpu", description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -181,6 +221,12 @@ def main(argv=None) -> int:
     p = sub.add_parser("info", help="print resolved scene config")
     _add_common(p)
     p.set_defaults(fn=cmd_info)
+
+    p = sub.add_parser("parity", help="compare compat pipeline vs golden dumps")
+    p.add_argument("golden", help="directory of tools/golden_gen state dumps")
+    p.add_argument("--steps", type=int, default=None)
+    p.add_argument("--cell-capacity", type=int, default=64)
+    p.set_defaults(fn=cmd_parity)
 
     args = ap.parse_args(argv)
     return args.fn(args)
