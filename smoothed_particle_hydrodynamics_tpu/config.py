@@ -86,6 +86,7 @@ class SphConfig:
     # --- pallas kernel tuning ---------------------------------------------------
     pallas_block_rows: int = 256    # sorted particles per kernel grid step
     pallas_window: int = 768        # candidate DMA window (lane-aligned)
+    pallas_interpret: bool = False  # run kernels in interpreter mode (CPU tests)
 
     # ---------------------------------------------------------------------------
     # Derived constants (float32-faithful to /root/reference/src/sph.cpp:46-95)

@@ -335,6 +335,7 @@ def compute_step_quantities(cfg: SphConfig, state: ParticleState
             jax.ShapeDtypeStruct((1, n_rows), jnp.int32),
         ),
         grid_spec=grid_spec_d,
+        interpret=cfg.pallas_interpret,
     )(wstart, wchunks, fields_d, rngs, rnge, self_d)
 
     rho_s = rho_blocks.reshape(n_rows)[:n]
@@ -356,6 +357,7 @@ def compute_step_quantities(cfg: SphConfig, state: ParticleState
         partial(_force_kernel, cfg, nranges, s, b),
         out_shape=jax.ShapeDtypeStruct((3, n_rows), jnp.float32),
         grid_spec=grid_spec_f,
+        interpret=cfg.pallas_interpret,
     )(wstart, wchunks, fields_f, rngs, rnge, self_f)
 
     acc_s = acc_rows[:, :n].T                              # [N, 3]
