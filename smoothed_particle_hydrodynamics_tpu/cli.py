@@ -52,6 +52,8 @@ def _apply_overrides(args) -> dict:
 
 
 def cmd_run(args) -> int:
+    import signal
+
     import jax
 
     from .ops.step import run_steps
@@ -73,11 +75,31 @@ def cmd_run(args) -> int:
 
     from functools import partial
 
-    run = jax.jit(partial(run_steps, cfg, backend=args.backend),
-                  static_argnames=("num_steps",))
+    if args.devices and args.devices > 1:
+        from .parallel import make_mesh
+        from .parallel.sharding import run_steps_sharded, shard_state
+
+        mesh = make_mesh(args.devices)
+        state = shard_state(mesh, state)
+        run = jax.jit(partial(run_steps_sharded, cfg, mesh),
+                      static_argnames=("num_steps",))
+    else:
+        run = jax.jit(partial(run_steps, cfg, backend=args.backend),
+                      static_argnames=("num_steps",))
+
+    # ctrl-C = checkpoint and exit cleanly (the reference's stop button just
+    # drops everything; see SURVEY.md §5 checkpoint/resume)
+    interrupted = {"flag": False}
+
+    def on_sigint(signum, frame):
+        interrupted["flag"] = True
+        print("\ninterrupt: will checkpoint at the end of this block...",
+              file=sys.stderr)
+
+    signal.signal(signal.SIGINT, on_sigint)
 
     print(f"scene={args.scene} n={cfg.num_particles} steps={total} "
-          f"backend={args.backend} devices={jax.devices()}")
+          f"backend={args.backend} devices={jax.devices()[:max(args.devices or 1, 1)]}")
     frames = []
     with DiagnosticsWriter(args.out) as writer:
         ckpt_io.write_run_metadata(args.out, cfg, {"scene": args.scene,
@@ -98,6 +120,10 @@ def cmd_run(args) -> int:
                       file=sys.stderr)
                 return 2
             done += nblock
+            if interrupted["flag"]:
+                p = ckpt_io.save_checkpoint(args.checkpoint_dir, done, cfg, state)
+                print(f"interrupted at step {done}; checkpoint saved to {p}")
+                return 130
             if args.checkpoint_every and (done % args.checkpoint_every) < nblock:
                 ckpt_io.save_checkpoint(args.checkpoint_dir, done, cfg, state)
             if args.render and (done % args.render_every) < nblock:
@@ -203,6 +229,8 @@ def main(argv=None) -> int:
     p.add_argument("--resume", action="store_true")
     p.add_argument("--render", action="store_true", help="accumulate GIF frames")
     p.add_argument("--render-every", type=int, default=10)
+    p.add_argument("--devices", type=int, default=0,
+                   help="run sharded over the first N devices (0 = single)")
     p.add_argument("--quiet", action="store_true")
     p.set_defaults(fn=cmd_run)
 

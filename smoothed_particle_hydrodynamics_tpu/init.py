@@ -64,56 +64,83 @@ def disk_velocity(cfg: SphConfig, pos: jnp.ndarray, v_scale: float = 20.0) -> jn
     return jnp.stack([vx, jnp.zeros_like(vx), vz], axis=1)
 
 
-def init_dam_break(key: jax.Array, cfg: SphConfig, fill: tuple[float, float, float] = (0.25, 0.9, 0.5),
-                   jitter: float = 0.25) -> ParticleState:
-    """Dam-break block: particles fill a box-corner column, at rest.
+def default_spacing(cfg: SphConfig) -> float:
+    """Rest lattice spacing h/2: ~33 neighbors inside the support radius,
+    the standard Muller SPH regime.  Physical neighbor counts keep the pair
+    work O(N) — packing far above this density degenerates toward O(N^2)."""
+    return float(cfg.h) * 0.5
+
+
+def _lattice_block(key: jax.Array, n: int, origin, dims_xyz, spacing: float,
+                   jitter: float = 0.2) -> jnp.ndarray:
+    """n points on a jittered cubic lattice filling ``dims_xyz`` cells."""
+    nx, ny, nz = dims_xyz
+    idx = jnp.arange(n)
+    iy, rem = jnp.divmod(idx, nx * nz)
+    iz, ix = jnp.divmod(rem, nx)
+    lattice = jnp.stack([ix, iy, iz], axis=1).astype(jnp.float32)
+    noise = jax.random.uniform(key, (n, 3), jnp.float32, -jitter, jitter)
+    return jnp.asarray(origin, jnp.float32) + (lattice + 0.5 + noise) * spacing
+
+
+def init_dam_break(key: jax.Array, cfg: SphConfig, spacing: float | None = None,
+                   base_fraction: tuple[float, float] = (0.35, 0.7)) -> ParticleState:
+    """Dam-break column at rest in a box corner, at physical rest spacing.
 
     No reference counterpart (the upstream demo's water-in-box scene was
-    replaced); provided for the BASELINE.json dam-break configs.  ``fill`` is
-    the fraction of the box occupied along each axis.
+    replaced); provided for the BASELINE.json dam-break configs.  The column's
+    footprint is ``base_fraction`` of the floor; its height follows from N and
+    the lattice spacing.
     """
     n = cfg.num_particles
-    box = jnp.asarray(cfg.box_max, jnp.float32)
-    extent = box * jnp.asarray(fill, jnp.float32)
-    # Regular lattice with RNG jitter so densities start smooth.
-    per_axis = int(np.ceil(n ** (1.0 / 3.0)))
-    idx = jnp.arange(per_axis ** 3)[:n]
-    iz, rem = jnp.divmod(idx, per_axis * per_axis)
-    iy, ix = jnp.divmod(rem, per_axis)
-    lattice = jnp.stack([ix, iy, iz], axis=1).astype(jnp.float32) / per_axis
-    spacing = extent / per_axis
-    noise = jax.random.uniform(key, (n, 3), jnp.float32, -jitter, jitter) * spacing
-    pos = lattice * extent + 0.5 * spacing + noise
-    # Keep strictly inside the box.
-    pos = jnp.clip(pos, 1e-4, box - 1e-4)
-    vel = jnp.zeros((n, 3), jnp.float32)
-    return ParticleState.from_arrays(pos, vel, cfg=cfg)
+    box = np.asarray(cfg.box_max)
+    dx = default_spacing(cfg) if spacing is None else spacing
+    nx = max(int(box[0] * base_fraction[0] / dx), 1)
+    nz = max(int(box[2] * base_fraction[1] / dx), 1)
+    ny = -(-n // (nx * nz))
+    if ny * dx > box[1] * 0.95:
+        raise ValueError(
+            f"dam_break: {n} particles at spacing {dx:g} overflow the box; "
+            "increase the grid/box or the spacing")
+    pos = _lattice_block(key, n, (dx, dx, dx), (nx, ny, nz), dx)
+    pos = jnp.clip(pos, 1e-4, jnp.asarray(box - 1e-4, jnp.float32))
+    return ParticleState.from_arrays(pos, jnp.zeros((n, 3), jnp.float32), cfg=cfg)
 
 
-def init_splash(key: jax.Array, cfg: SphConfig, drop_radius: float = 1.0,
-                drop_height: float = 0.75, pool_depth: float = 0.2,
-                drop_fraction: float = 0.3, speed: float = 5.0) -> ParticleState:
-    """Splash scene: a falling ball over a resting pool (BASELINE config 3)."""
+def init_splash(key: jax.Array, cfg: SphConfig, spacing: float | None = None,
+                drop_fraction: float = 0.15, drop_height: float = 0.6,
+                speed: float = 5.0) -> ParticleState:
+    """Splash: a falling drop over a resting pool (BASELINE config 3).
+
+    Pool depth and drop radius are derived from N and the rest spacing so the
+    scene is physically packed at any particle count.
+    """
     n = cfg.num_particles
     n_drop = int(n * drop_fraction)
     n_pool = n - n_drop
-    box = jnp.asarray(cfg.box_max, jnp.float32)
+    box = np.asarray(cfg.box_max)
+    dx = default_spacing(cfg) if spacing is None else spacing
     k_drop, k_pool = jax.random.split(key)
 
+    # pool: full floor footprint, height from N
+    nx = max(int(box[0] * 0.98 / dx), 1)
+    nz = max(int(box[2] * 0.98 / dx), 1)
+    ny = -(-n_pool // (nx * nz))
+    pos_pool = _lattice_block(k_pool, n_pool, (dx * 0.5,) * 3, (nx, ny, nz), dx)
+
+    # drop: ball of radius from N at drop_height
+    drop_radius = (3.0 * n_drop * dx ** 3 / (4.0 * np.pi)) ** (1.0 / 3.0)
     d = jax.random.normal(k_drop, (n_drop, 3), jnp.float32)
     d = d / jnp.linalg.norm(d, axis=1, keepdims=True)
     r = drop_radius * jax.random.uniform(k_drop, (n_drop,), jnp.float32) ** (1.0 / 3.0)
-    drop_center = jnp.asarray([box[0] * 0.5, box[1] * drop_height, box[2] * 0.5], jnp.float32)
-    pos_drop = drop_center + d * r[:, None]
+    center = jnp.asarray([box[0] * 0.5, box[1] * drop_height, box[2] * 0.5],
+                         jnp.float32)
+    pos_drop = center + d * r[:, None]
     vel_drop = jnp.tile(jnp.asarray([0.0, -speed, 0.0], jnp.float32), (n_drop, 1))
 
-    u = jax.random.uniform(k_pool, (n_pool, 3), jnp.float32)
-    pos_pool = u * jnp.asarray([box[0], box[1] * pool_depth, box[2]], jnp.float32)
-    vel_pool = jnp.zeros((n_pool, 3), jnp.float32)
-
     pos = jnp.concatenate([pos_drop, pos_pool], axis=0)
-    vel = jnp.concatenate([vel_drop, vel_pool], axis=0)
-    pos = jnp.clip(pos, 1e-4, box - 1e-4)
+    vel = jnp.concatenate([vel_drop, jnp.zeros((n_pool, 3), jnp.float32)], axis=0)
+    pos = jnp.clip(pos, 1e-4, jnp.asarray(box - 1e-4, jnp.float32))
     return ParticleState.from_arrays(pos, vel, cfg=cfg)
 
 

@@ -1,0 +1,65 @@
+"""CLI smoke tests (CPU, tiny scenes)."""
+
+import json
+import os
+
+import pytest
+
+from smoothed_particle_hydrodynamics_tpu.cli import main
+
+
+def test_info():
+    assert main(["info", "--scene", "disk", "-n", "512"]) == 0
+
+
+def test_run_and_resume(tmp_path, capsys):
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    rc = main(["run", "--scene", "disk", "-n", "512", "--steps", "4",
+               "--block", "2", "--out", out, "--checkpoint-every", "2",
+               "--checkpoint-dir", ck, "--quiet"])
+    assert rc == 0
+    assert os.path.exists(f"{out}/energy.txt")
+    assert os.path.exists(f"{out}/final_state.npz")
+    meta = json.load(open(f"{out}/run.json"))
+    assert meta["config"]["num_particles"] == 512
+
+    out2 = str(tmp_path / "out2")
+    rc = main(["run", "--resume", "--checkpoint-dir", ck, "--steps", "6",
+               "--block", "2", "--out", out2, "--quiet"])
+    assert rc == 0
+    first = open(f"{out2}/energy.txt").read().splitlines()[1]
+    assert first.startswith("4, ")  # resumed at step 4
+
+
+def test_run_multidevice(tmp_path):
+    out = str(tmp_path / "outs")
+    rc = main(["run", "--scene", "disk", "-n", "512", "--steps", "2",
+               "--block", "2", "--out", out, "--devices", "4", "--quiet"])
+    assert rc == 0
+    assert os.path.exists(f"{out}/energy.txt")
+
+
+def test_bench_json(capsys):
+    rc = main(["bench", "--scene", "disk", "-n", "512", "--steps", "3",
+               "--warmup", "1"])
+    assert rc == 0
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    data = json.loads(line)
+    assert data["metric"] == "particle-steps/sec/chip"
+    assert data["value"] > 0
+
+
+def test_render_cmd(tmp_path):
+    out = str(tmp_path / "o")
+    main(["run", "--scene", "disk", "-n", "512", "--steps", "2",
+          "--block", "2", "--out", out, "--quiet"])
+    png = str(tmp_path / "f.png")
+    rc = main(["render", f"{out}/final_state.npz", "-o", png,
+               "--scene", "disk", "-n", "512"])
+    assert rc == 0 and os.path.getsize(png) > 100
+
+
+def test_unknown_field_rejected():
+    with pytest.raises(SystemExit):
+        main(["run", "--set", "bogus=1"])
