@@ -65,11 +65,13 @@ def _block_windows(rng_start: jnp.ndarray, rng_end: jnp.ndarray,
     r = rng_start.shape[1]
     rs = rng_start.reshape(nblocks, block_rows, r)
     re = rng_end.reshape(nblocks, block_rows, r)
-    w_start = jnp.min(jnp.where(rs < re, rs, jnp.iinfo(jnp.int32).max), axis=1)
+    valid = rs < re                                       # empty ranges carry a
+    w_start = jnp.min(jnp.where(valid, rs, jnp.iinfo(jnp.int32).max), axis=1)
     w_start = jnp.where(w_start == jnp.iinfo(jnp.int32).max, 0, w_start)
     w_start = w_start & ~(LANE - 1)                       # lane alignment
     w_start = jnp.clip(w_start, 0, max(n_pad - window, 0))
-    w_end = jnp.max(re, axis=1)
+    # meaningless position value, so they must be masked out of the max too
+    w_end = jnp.max(jnp.where(valid, re, 0), axis=1)
     w_len = jnp.maximum(w_end - w_start, 0)
     # chunk c covers [start + c*window, ...); last chunk must stay in bounds
     max_chunks = jnp.maximum((n_pad - window) // window + 1, 1)
@@ -91,40 +93,50 @@ def _sweep_kernel_body(cfg, nranges, window, block_rows, nfields,
     [F, S] candidate block against the (closed-over) self rows.
     """
     i = pl.program_id(0)
+    nblocks = pl.num_programs(0)
     b = block_rows
     s = window
     jlane = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1)
     own = (i * b + jax.lax.broadcasted_iota(jnp.int32, (b, 1), 0))
 
-    def dma(r, chunk, slot):
-        start = pl.multiple_of(wstart_ref[i * nranges + r], LANE) + chunk * s
+    # Deep pipeline: the per-rod compute (~1-2 us on [B,S]) cannot hide a
+    # single DMA's latency, so ALL nranges window DMAs for a block are issued
+    # back-to-back one block ahead: slot parity (block % 2) x rod.
+    def dma(block, r, chunk, slot, chunk_slot=None):
+        start = (pl.multiple_of(wstart_ref[block * nranges + r], LANE)
+                 + chunk * s)
+        dst = cand.at[slot, r] if chunk_slot is None else cand.at[chunk_slot, 0]
+        sm = sem.at[slot, r] if chunk_slot is None else sem.at[chunk_slot, 0]
         return pltpu.make_async_copy(
-            fields_hbm.at[:, pl.ds(start, s)],
-            cand.at[slot],
-            sem.at[slot],
-        )
+            fields_hbm.at[:, pl.ds(start, s)], dst, sm)
 
-    dma(0, 0, 0).start()
+    def start_block(block, slot):
+        for r in range(nranges):
+            dma(block, r, 0, slot).start()
 
-    def masked(carry, r, chunk, slot):
-        jg = wstart_ref[i * nranges + r] + chunk * s + jlane          # [1, S] global index
+    @pl.when(i == 0)
+    def _():
+        start_block(0, 0)
+
+    @pl.when(i + 1 < nblocks)
+    def _():
+        start_block(i + 1, (i + 1) % 2)
+
+    def masked(carry, r, chunk, data):
+        jg = wstart_ref[i * nranges + r] + chunk * s + jlane   # [1,S] global idx
         r_lo = rngs_ref[:, r].reshape(b, 1)
         r_hi = rnge_ref[:, r].reshape(b, 1)
         base_mask = (jg >= r_lo) & (jg < r_hi) & (jg != own)
-        return pair_compute(carry, cand[slot], base_mask)
+        return pair_compute(carry, data, base_mask)
 
+    slot = i % 2
     carry = init_carry
     for r in range(nranges):
-        slot = r % 2
-        if r + 1 < nranges:
-            dma(r + 1, 0, (r + 1) % 2).start()
-        dma(r, 0, slot).wait()
-        carry = masked(carry, r, 0, slot)
+        dma(i, r, 0, slot).wait()
+        carry = masked(carry, r, 0, cand[slot, r])
 
-        # Long windows (blocks whose rows straddle grid rods/planes, or sparse
-        # blocks whose neighbor rows sit over dense regions): process exactly,
-        # chunk by chunk, skipping chunks that intersect NO row's range — for
-        # a sparse-over-dense block most of the union window is dead space.
+        # Rare long windows (<2% of blocks after the sign-free stencil):
+        # exact multi-chunk tail through the dedicated overflow slot.
         r_lo = rngs_ref[:, r].reshape(b, 1)
         r_hi = rnge_ref[:, r].reshape(b, 1)
 
@@ -133,10 +145,10 @@ def _sweep_kernel_body(cfg, nranges, window, block_rows, nfields,
             live = jnp.any((r_lo < c_lo + s) & (r_hi > c_lo))
 
             def do(carry3):
-                d = dma(r, c, 2)
+                d = dma(i, r, c, slot, chunk_slot=2)
                 d.start()
                 d.wait()
-                return masked(carry3, r, c, 2)
+                return masked(carry3, r, c, cand[2, 0])
 
             return jax.lax.cond(live, do, lambda x: x, carry2)
 
@@ -282,8 +294,9 @@ def _make_grid_spec(nblocks: int, block_rows: int, nranges: int, nfields: int,
         ],
         out_specs=out_specs,
         scratch_shapes=[
-            pltpu.VMEM((3, nfields, window), jnp.float32),  # 2 pipelined + 1 overflow
-            pltpu.SemaphoreType.DMA((3,)),
+            # [slot 0/1 = block pipeline, slot 2 rod 0 = multi-chunk overflow]
+            pltpu.VMEM((3, nranges, nfields, window), jnp.float32),
+            pltpu.SemaphoreType.DMA((3, nranges)),
         ],
     )
 
@@ -297,11 +310,19 @@ def compute_step_quantities(cfg: SphConfig, state: ParticleState
     b, s = cfg.pallas_block_rows, cfg.pallas_window
     if s % LANE:
         raise ValueError(f"pallas_window must be a multiple of {LANE}")
+    if cfg.pallas_interpret is False and s * b > 1 << 19:
+        raise ValueError("pallas_window * pallas_block_rows too large for VMEM")
     n = state.position.shape[0]
     nblocks = -(-n // b)
     n_rows = nblocks * b
 
-    p = celllist.prepare(cfg, state)
+    # The window unions require sign-FREE stencil rods: with the octant
+    # stencil a block mixes sz=+1/-1 rows, whose (0,sz) rods live in planes
+    # z-1 and z+1 — ~two plane-populations apart in sorted index space — so
+    # the union window explodes (measured: p75 window ~35k rows at 1M).  The
+    # 27-cell stencil's 9 rods are per-cell constants, keeping every window
+    # at (block-extent + 2 cells) * occupancy.
+    p = celllist.prepare(cfg.replace(neighborhood="cell27"), state)
     nranges = p.rng_start.shape[1]
 
     pad_rows = n_rows - n
