@@ -126,7 +126,11 @@ def _sweep_kernel_body(cfg, nranges, window, block_rows, nfields,
         jg = wstart_ref[i * nranges + r] + chunk * s + jlane   # [1,S] global idx
         r_lo = rngs_ref[:, r].reshape(b, 1)
         r_hi = rnge_ref[:, r].reshape(b, 1)
-        base_mask = (jg >= r_lo) & (jg < r_hi) & (jg != own)
+        base_mask = (jg >= r_lo) & (jg < r_hi)
+        if nranges != 9 or r == 4:
+            # self-exclusion: own sorted index can only fall inside the
+            # centre rod's range ((dy,dz)=(0,0) = index 4 of the 27-stencil)
+            base_mask = base_mask & (jg != own)
         return pair_compute(carry, data, base_mask)
 
     slot = i % 2
