@@ -84,8 +84,12 @@ def cmd_run(args) -> int:
         run = jax.jit(partial(run_steps_sharded, cfg, mesh),
                       static_argnames=("num_steps",))
     else:
-        run = jax.jit(partial(run_steps, cfg, backend=args.backend),
-                      static_argnames=("num_steps",))
+        # host loop with donation: lax.scan de-optimizes the pallas step at
+        # large N (docs/PERFORMANCE.md), host dispatch is negligible
+        from .ops.step import drive_loop
+
+        def run(s, num_steps):
+            return drive_loop(cfg, s, num_steps, backend=args.backend)
 
     # ctrl-C = checkpoint and exit cleanly (the reference's stop button just
     # drops everything; see SURVEY.md §5 checkpoint/resume)

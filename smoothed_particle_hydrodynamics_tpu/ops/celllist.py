@@ -81,6 +81,7 @@ def candidate_ranges(cfg: SphConfig, g: Grid, pos_sorted: jnp.ndarray
     #   s_0  = start of cell (x,   y+dy, z+dz)
     #   e_0  = end   of cell (x,   y+dy, z+dz)
     #   e_hi = end   of cell (x+1, y+dy, z+dz)   (x==nx-1 -> end of x)
+    full = cfg.neighborhood != "cell27"   # cell27 needs only s_lo / e_hi
     pieces = []
     for dy in (-1, 0, 1):
         for dz in (-1, 0, 1):
@@ -93,17 +94,18 @@ def candidate_ranges(cfg: SphConfig, g: Grid, pos_sorted: jnp.ndarray
             e_hi = jnp.where(xc < nx - 1, _shift(g.cell_end, delta + 1, 0), e_0)
             zero = jnp.zeros_like(s_0)
             pieces.append(jnp.where(ok, s_lo, zero))
-            pieces.append(jnp.where(ok, s_0, zero))
-            pieces.append(jnp.where(ok, e_0, zero))
+            if full:
+                pieces.append(jnp.where(ok, s_0, zero))
+                pieces.append(jnp.where(ok, e_0, zero))
             pieces.append(jnp.where(ok, e_hi, zero))
-    table = jnp.stack(pieces, axis=1)                      # [C, 36]
+    table = jnp.stack(pieces, axis=1)                      # [C, 36] or [C, 18]
 
-    rows = table[g.cell_ids]                               # ONE row gather [N, 36]
-    rows = rows.reshape(-1, 9, 4)
+    rows = table[g.cell_ids]                               # ONE row gather
+    rows = rows.reshape(-1, 9, 4 if full else 2)
 
     if cfg.neighborhood == "cell27":
         start = rows[:, :, 0]                              # s_lo of all 9 rods
-        end = rows[:, :, 3]                                # e_hi of all 9 rods
+        end = rows[:, :, 1]                                # e_hi of all 9 rods
         return start.astype(jnp.int32), end.astype(jnp.int32)
 
     # octant: pick 4 rods by the y/z half-space signs, then narrow x by sx.

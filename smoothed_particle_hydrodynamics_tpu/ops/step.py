@@ -95,6 +95,41 @@ def run_steps(cfg: SphConfig, state: ParticleState, num_steps: int,
     return final, diags
 
 
+_STEP_CACHE: dict = {}
+
+
+def _cached_step(cfg: SphConfig, backend: Backend):
+    key = (cfg, backend)
+    if key not in _STEP_CACHE:
+        _STEP_CACHE[key] = jax.jit(partial(step, cfg, backend=backend),
+                                   donate_argnums=(0,))
+    return _STEP_CACHE[key]
+
+
+def drive_loop(cfg: SphConfig, state: ParticleState, num_steps: int,
+               backend: Backend = "celllist",
+               collect_diags: bool = True
+               ) -> tuple[ParticleState, StepDiagnostics | None]:
+    """Host-driven step loop with buffer donation.
+
+    Empirically (docs/PERFORMANCE.md) XLA runs the pallas step ~8x slower
+    inside ``lax.scan`` at 1M particles than as a top-level jitted call, while
+    host dispatch overhead is negligible at that size — so the production
+    driver loops on host.  Diagnostics are device scalars fetched lazily; with
+    ``collect_diags=False`` nothing is fetched until the caller syncs.
+    """
+    f = _cached_step(cfg, backend)
+    diags = []
+    for _ in range(num_steps):
+        state, d = f(state)
+        if collect_diags:
+            diags.append(d)
+    if not collect_diags:
+        return state, None
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *diags)
+    return state, stacked
+
+
 def simulate(cfg: SphConfig, state: ParticleState, backend: Backend = "celllist",
              steps_per_block: int = 50, callback=None) -> tuple[ParticleState, StepDiagnostics]:
     """Full simulation honouring cfg.num_steps, in scan blocks.

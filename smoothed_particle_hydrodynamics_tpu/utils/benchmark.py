@@ -9,30 +9,39 @@ The headline metric matches BASELINE.md: particle-steps/sec/chip, target
 from __future__ import annotations
 
 import time
-from functools import partial
 
 import jax
 
 from ..models import make_scene
-from ..ops.step import run_steps
+
+
+def _sync(tree) -> None:
+    """True device fence (block_until_ready is a no-op on the axon tunnel)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    for leaf in jax.tree.leaves(tree):
+        np.asarray(jnp.ravel(leaf)[:1])
 
 
 def run_benchmark(scene: str = "disk", backend: str = "celllist",
                   steps: int = 100, warmup: int = 10,
                   overrides: dict | None = None) -> dict:
+    from ..ops.step import drive_loop
+
     cfg, state = make_scene(scene, **(overrides or {}))
-    run = jax.jit(partial(run_steps, cfg, backend=backend),
-                  static_argnames=("num_steps",))
 
     # Warmup: compile + a few steps.
     t0 = time.perf_counter()
-    state_w, _ = run(state, num_steps=max(warmup, 1))
-    jax.block_until_ready(state_w)
+    state, _ = drive_loop(cfg, state, max(warmup, 1), backend=backend,
+                          collect_diags=False)
+    _sync(state)
     compile_s = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    state_b, diags = run(state_w, num_steps=steps)
-    jax.block_until_ready(state_b)
+    state, _ = drive_loop(cfg, state, steps, backend=backend,
+                          collect_diags=False)
+    _sync(state)
     elapsed = time.perf_counter() - t0
 
     n = cfg.num_particles
