@@ -29,7 +29,8 @@ def main() -> int:
 
     backend = args.backend
     if backend is None:
-        backend = "celllist"  # switched to pallas once the fused kernel lands
+        platform = jax.devices()[0].platform.lower()
+        backend = "celllist" if platform == "cpu" else "pallas"
 
     from smoothed_particle_hydrodynamics_tpu.utils.benchmark import run_benchmark
 

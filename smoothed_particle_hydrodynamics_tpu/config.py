@@ -47,6 +47,11 @@ class SphConfig:
     grid_nx: int = 32
     grid_ny: int = 32
     grid_nz: int = 32
+    # cell edge = cell_size_factor * h.  The reference uses 2h (its octant
+    # search depends on it); factor 1 with the 27-cell stencil cuts occupancy
+    # 8x and kernel lane work ~3x (box size = grid_n * cell, so halving the
+    # factor needs doubled grid dims for the same box).
+    cell_size_factor: float = 2.0
 
     # --- time integration --------------------------------------------------------
     dt: float = 1e-3                    # [Myr]
@@ -84,8 +89,10 @@ class SphConfig:
     neighborhood: NeighborhoodMode = "octant"
 
     # --- pallas kernel tuning ---------------------------------------------------
-    pallas_block_rows: int = 256    # sorted particles per kernel grid step
-    pallas_window: int = 768        # candidate DMA window (lane-aligned)
+    # Window must cover block_rows + stencil-extent*occupancy + 128 alignment
+    # for single-DMA blocks; 128/512 measured best at 1M (docs/PERFORMANCE.md).
+    pallas_block_rows: int = 128    # sorted particles per kernel grid step
+    pallas_window: int = 512        # candidate DMA window (lane-aligned)
     pallas_interpret: bool = False  # run kernels in interpreter mode (CPU tests)
 
     # ---------------------------------------------------------------------------
@@ -97,7 +104,7 @@ class SphConfig:
 
     @property
     def cell_size(self) -> float:
-        return _f32(2.0 * _f32(self.h))
+        return _f32(_f32(self.cell_size_factor) * _f32(self.h))
 
     @property
     def inv_cell_size(self) -> float:
@@ -181,6 +188,9 @@ class SphConfig:
         if self.cell_capacity < 1 or self.max_neighbors < 1:
             raise ValueError("capacities must be >= 1")
         if self.cell_size < self.h:
-            raise ValueError("cell_size (2h) must cover the interaction radius")
+            raise ValueError("cell_size must cover the interaction radius h "
+                             "(cell_size_factor >= 1)")
         if self.neighborhood == "octant" and self.cell_size < 2.0 * self.h:
             raise ValueError("octant stencil requires cell_size >= 2h; use cell27")
+        if self.compat and self.cell_size_factor != 2.0:
+            raise ValueError("compat mode requires the reference's 2h cells")

@@ -41,6 +41,11 @@ def _dam_break(n: int = 100_000, **overrides) -> tuple[SphConfig, ParticleState]
         total_time=0.5,
         include_self_density=True,
         second_kick="none",
+        # h-sized cells + 27-stencil: 8x lower occupancy than the reference's
+        # 2h cells (same 6.4^3 box via doubled grid dims)
+        cell_size_factor=1.0,
+        neighborhood="cell27",
+        grid_nx=64, grid_ny=64, grid_nz=64,
     )
     defaults.update(overrides)
     defaults["num_particles"] = overrides.get("num_particles", n)
@@ -62,8 +67,10 @@ def _splash(n: int = 1_000_000, **overrides) -> tuple[SphConfig, ParticleState]:
         total_time=0.25,
         include_self_density=True,
         second_kick="none",
-        grid_nx=64, grid_ny=64, grid_nz=64,
-        cell_capacity=128,
+        cell_size_factor=1.0,
+        neighborhood="cell27",
+        grid_nx=128, grid_ny=128, grid_nz=128,   # 12.8^3 box of h-cells
+        cell_capacity=64,
         range_slice=128,
     )
     defaults.update(overrides)
@@ -87,7 +94,7 @@ def _honey(n: int = 32 * 1024, **overrides) -> tuple[SphConfig, ParticleState]:
 
 
 def _dam_break_10m(n: int = 10_000_000, **overrides) -> tuple[SphConfig, ParticleState]:
-    defaults = dict(grid_nx=128, grid_ny=128, grid_nz=128,
+    defaults = dict(grid_nx=256, grid_ny=256, grid_nz=256,  # 25.6^3 box, h-cells
                     cell_capacity=64, range_slice=96)
     defaults.update(overrides)
     return _dam_break(n, **defaults)
