@@ -73,9 +73,11 @@ def _block_windows(rng_start: jnp.ndarray, rng_end: jnp.ndarray,
     # meaningless position value, so they must be masked out of the max too
     w_end = jnp.max(jnp.where(valid, re, 0), axis=1)
     w_len = jnp.maximum(w_end - w_start, 0)
-    # chunk c covers [start + c*window, ...); last chunk must stay in bounds
+    # chunk c covers [start + c*window, ...); last chunk must stay in bounds.
+    # 0 chunks = no candidates at all: the kernel skips the DMA and compute.
     max_chunks = jnp.maximum((n_pad - window) // window + 1, 1)
-    w_chunks = jnp.clip(-(-w_len // window), 1, max_chunks)
+    w_chunks = jnp.where(w_len > 0,
+                         jnp.clip(-(-w_len // window), 1, max_chunks), 0)
     return w_start.astype(jnp.int32), w_chunks.astype(jnp.int32)
 
 
@@ -112,7 +114,9 @@ def _sweep_kernel_body(cfg, nranges, window, block_rows, nfields,
 
     def start_block(block, slot):
         for r in range(nranges):
-            dma(block, r, 0, slot).start()
+            @pl.when(wchunks_ref[block * nranges + r] > 0)
+            def _():
+                dma(block, r, 0, slot).start()
 
     @pl.when(i == 0)
     def _():
@@ -136,8 +140,12 @@ def _sweep_kernel_body(cfg, nranges, window, block_rows, nfields,
     slot = i % 2
     carry = init_carry
     for r in range(nranges):
-        dma(i, r, 0, slot).wait()
-        carry = masked(carry, r, 0, cand[slot, r])
+        def process0(c, r=r):
+            dma(i, r, 0, slot).wait()
+            return masked(c, r, 0, cand[slot, r])
+
+        carry = jax.lax.cond(wchunks_ref[i * nranges + r] > 0,
+                             process0, lambda c: c, carry)
 
         # Rare long windows (<2% of blocks after the sign-free stencil):
         # exact multi-chunk tail through the dedicated overflow slot.

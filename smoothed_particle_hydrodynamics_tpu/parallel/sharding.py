@@ -114,6 +114,118 @@ def step_sharded(cfg: SphConfig, mesh: Mesh, state: ParticleState,
     return new_state, diag
 
 
+def step_sharded_halo(cfg: SphConfig, mesh: Mesh, state: ParticleState,
+                      halo_rows: int, chunk: int = 1024
+                      ) -> tuple[ParticleState, StepDiagnostics]:
+    """Sharded step with HALO EXCHANGE instead of gathered neighbor fields.
+
+    Each device owns a contiguous block of globally-sorted rows — a z-slab of
+    space (the linear cell id is z-major).  A particle's stencil candidates
+    live at most one cell-plane away, i.e. within a bounded band of sorted
+    indices around the slab; devices exchange ``halo_rows`` edge rows with
+    both mesh neighbors via ``lax.ppermute`` over ICI and run the sweeps
+    against [halo | local | halo] only.  Candidates beyond the halo are
+    dropped and counted (``truncated_ranges`` doubles as the halo-overflow
+    counter) — size ``halo_rows`` to cover the densest plane population.
+
+    The binning/sort itself still runs replicated (cheap relative to sweeps);
+    a distributed sort with migration buffers is the next step on this path.
+    """
+    n = state.position.shape[0]
+    ndev = math.prod(mesh.devices.shape)
+    if n % ndev:
+        raise ValueError(f"num_particles={n} must be divisible by {ndev} devices")
+    rows = n // ndev
+    h = halo_rows
+    if h > rows:
+        raise ValueError("halo_rows must be <= rows per device")
+    local_chunk = min(chunk, rows)
+
+    p = celllist.prepare(cfg, state)
+    own_idx = jnp.arange(n, dtype=jnp.int32)
+    fields = jnp.concatenate(
+        [p.pos_s, p.vel_s, p.mass_s[:, None]], axis=1)     # [N, 7]
+
+    def halo_sweeps(fields_loc, rng_s, rng_e, own):
+        """shard_map body: fields_loc [rows, 7] local slab."""
+        axis = "data"
+        idx = jax.lax.axis_index(axis)
+        right_edge = fields_loc[-h:]                        # goes to right neighbor
+        left_edge = fields_loc[:h]                          # goes to left neighbor
+        ndev_ax = jax.lax.axis_size(axis)
+        # receive left neighbor's last rows and right neighbor's first rows
+        from_left = jax.lax.ppermute(
+            right_edge, axis, [(d, (d + 1) % ndev_ax) for d in range(ndev_ax)])
+        from_right = jax.lax.ppermute(
+            left_edge, axis, [(d, (d - 1) % ndev_ax) for d in range(ndev_ax)])
+        # zero out wrapped halos at the chain ends (no periodic space)
+        from_left = jnp.where(idx == 0, 0.0, from_left)
+        from_right = jnp.where(idx == ndev_ax - 1, 0.0, from_right)
+        ext = jnp.concatenate([from_left, fields_loc, from_right], axis=0)
+
+        base = idx * rows - h                               # global idx of ext[0]
+        # clamp candidate ranges into the halo band; count what was cut
+        lo = jnp.maximum(rng_s, idx * rows - h)
+        hi = jnp.minimum(rng_e, (idx + 1) * rows + h)
+        cut = jnp.sum((rng_s < lo) | (rng_e > hi)).astype(jnp.int32)
+        lo = lo - base
+        hi = jnp.maximum(hi - base, lo)
+
+        pos_e, vel_e, mass_e = ext[:, 0:3], ext[:, 3:6], ext[:, 6]
+        own_l = own - base
+        pos_i = fields_loc[:, 0:3]
+        vel_i = fields_loc[:, 3:6]
+        mass_i = fields_loc[:, 6]
+
+        rho_l, nc_l, trunc = celllist.density_rows(
+            cfg, pos_e, mass_e, lo, hi, own_l, pos_i, mass_i, chunk=local_chunk)
+
+        # force sweep needs neighbor densities -> exchange rho halos too
+        rho_left = jax.lax.ppermute(
+            rho_l[-h:], axis, [(d, (d + 1) % ndev_ax) for d in range(ndev_ax)])
+        rho_right = jax.lax.ppermute(
+            rho_l[:h], axis, [(d, (d - 1) % ndev_ax) for d in range(ndev_ax)])
+        rho_left = jnp.where(idx == 0, 0.0, rho_left)
+        rho_right = jnp.where(idx == ndev_ax - 1, 0.0, rho_right)
+        rho_e = jnp.concatenate([rho_left, rho_l, rho_right])
+
+        acc_l = celllist.force_rows(
+            cfg, pos_e, vel_e, mass_e, rho_e, lo, hi, own_l,
+            pos_i, vel_i, rho_l, chunk=local_chunk)
+        dropped = jax.lax.psum(jnp.sum(trunc) + cut, axis)
+        return rho_l, nc_l, acc_l, dropped
+
+    sweeps = jax.shard_map(
+        halo_sweeps, mesh=mesh,
+        in_specs=(P("data"), P("data"), P("data"), P("data")),
+        out_specs=(P("data"), P("data"), P("data"), P()),
+    )
+    rho_s, ncount_s, acc_s, truncated = sweeps(
+        fields, p.rng_start, p.rng_end, own_idx)
+
+    g = p.grid
+    acc = unsort(g.order, acc_s)
+    rho = unsort(g.order, rho_s)
+    ncount = unsort(g.order, ncount_s)
+
+    state = state._replace(density=rho, neighbor_count=ncount)
+    new_state, tally = kdk_integrate(cfg, state, acc)
+    sharded = NamedSharding(mesh, P("data"))
+    new_state = jax.tree.map(
+        lambda a: jax.lax.with_sharding_constraint(a, sharded), new_state)
+
+    diag = StepDiagnostics(
+        kinetic_energy=tally.kinetic,
+        potential_energy=tally.potential,
+        angular_momentum=tally.angular_momentum,
+        neighbor_mean=jnp.mean(ncount.astype(jnp.float32)),
+        neighbor_max=jnp.max(ncount),
+        neighbor_min=jnp.min(ncount),
+        overflow_cells=g.overflow_cells + truncated,
+    )
+    return new_state, diag
+
+
 def run_steps_sharded(cfg: SphConfig, mesh: Mesh, state: ParticleState,
                       num_steps: int, chunk: int = 1024
                       ) -> tuple[ParticleState, StepDiagnostics]:
