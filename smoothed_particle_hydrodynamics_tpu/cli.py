@@ -104,10 +104,19 @@ def cmd_run(args) -> int:
 
     print(f"scene={args.scene} n={cfg.num_particles} steps={total} "
           f"backend={args.backend} devices={jax.devices()[:max(args.devices or 1, 1)]}")
+    phase_ms = {}
+    if args.profile_phases:
+        from .utils.profiling import profile_phases
+
+        phase_ms = profile_phases(cfg, state)
+        print("per-phase [ms]: " + "  ".join(
+            f"{k}={v:.2f}" for k, v in phase_ms.items()))
+
     frames = []
     with DiagnosticsWriter(args.out) as writer:
         ckpt_io.write_run_metadata(args.out, cfg, {"scene": args.scene,
-                                                   "backend": args.backend})
+                                                   "backend": args.backend,
+                                                   "phase_ms": phase_ms})
         done = start_step
         t_start = time.perf_counter()
         while done < total:
@@ -116,7 +125,7 @@ def cmd_run(args) -> int:
             state, diags = run(state, num_steps=nblock)
             jax.block_until_ready(state)
             dt_ms = (time.perf_counter() - t0) * 1000.0 / nblock
-            writer.write_block(done, diags, {"step": dt_ms})
+            writer.write_block(done, diags, dict(phase_ms, step=dt_ms))
             bad, why = detect_blowup(diags)
             if bad:
                 ckpt_io.save_checkpoint(args.checkpoint_dir, done + nblock, cfg, state)
@@ -235,6 +244,8 @@ def main(argv=None) -> int:
     p.add_argument("--render-every", type=int, default=10)
     p.add_argument("--devices", type=int, default=0,
                    help="run sharded over the first N devices (0 = single)")
+    p.add_argument("--profile-phases", action="store_true",
+                   help="measure per-phase times once (reference timing.txt columns)")
     p.add_argument("--quiet", action="store_true")
     p.set_defaults(fn=cmd_run)
 

@@ -48,20 +48,46 @@ def _splat(pos_xy: jnp.ndarray, extent: jnp.ndarray, size: int = 512,
 
 
 def render_frame(cfg: SphConfig, state: ParticleState, size: int = 512,
-                 axis: str = "xz", gain: float = 40.0) -> np.ndarray:
-    """Render one greyscale frame [size,size] u8 of the particle cloud."""
+                 axis: str = "xz", gain: float = 40.0,
+                 voxels: bool = False) -> np.ndarray:
+    """Render one frame of the particle cloud.
+
+    Greyscale [size,size] u8 by default (the reference's additive point
+    blending, visualization.cpp:137-163); with ``voxels=True`` returns RGB
+    [size,size,3] with occupied grid cells shaded red at intensity
+    proportional to their occupancy — the reference's drawVoxels overlay
+    (visualization.cpp:166-213, intensity 0.02*count).
+    """
     ax = {"x": 0, "y": 1, "z": 2}
     a, b = ax[axis[0]], ax[axis[1]]
     box = cfg.box_max
     pos = state.position[:, jnp.asarray([a, b])]
     extent = jnp.asarray([box[a], box[b]], jnp.float32)
-    return np.asarray(_splat(pos, extent, size=size, gain=gain))
+    grey = np.asarray(_splat(pos, extent, size=size, gain=gain))
+    if not voxels:
+        return grey
+    # cell occupancy projected along the remaining axis
+    from ..ops.grid import cell_coords
+
+    dims = {0: cfg.grid_nx, 1: cfg.grid_ny, 2: cfg.grid_nz}
+    coords = cell_coords(cfg, state.position)
+    flat = coords[:, a] * dims[b] + coords[:, b]
+    counts = jnp.zeros((dims[a] * dims[b],), jnp.float32).at[flat].add(1.0)
+    vox = np.asarray(jnp.clip(counts * (0.02 * 255.0), 0, 255.0)
+                     .reshape(dims[a], dims[b]).astype(jnp.uint8))
+    # upsample nearest to image size
+    reps = (size // vox.shape[0] + 1, size // vox.shape[1] + 1)
+    vox_img = np.kron(vox, np.ones(reps, np.uint8))[:size, :size]
+    rgb = np.stack([np.maximum(grey, vox_img), grey, grey], axis=-1)
+    return rgb
 
 
 def save_png(img: np.ndarray, path: str) -> None:
     if _HAVE_PIL:
-        Image.fromarray(img, mode="L").save(path)
+        Image.fromarray(img, mode="L" if img.ndim == 2 else "RGB").save(path)
         return
+    if img.ndim == 3:
+        img = img.max(axis=-1)
     _write_png_gray(img, path)
 
 

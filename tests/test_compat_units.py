@@ -59,7 +59,7 @@ def test_block_windows_ignore_empty_ranges():
     ws, wc = np.asarray(ws), np.asarray(wc)
     assert ws[0, 0] == 0          # 10 aligned down
     assert wc[0, 0] == 1
-    assert wc[0, 1] == 1          # empty ranges -> single (no-op) chunk
+    assert wc[0, 1] == 0          # empty ranges -> 0 chunks (DMA+compute skipped)
     assert ws[0, 0] % LANE == 0
 
 
