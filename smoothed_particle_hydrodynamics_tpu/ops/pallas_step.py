@@ -105,12 +105,14 @@ def _sweep_kernel_body(cfg, nranges, window, block_rows, nfields,
     # single DMA's latency, so ALL nranges window DMAs for a block are issued
     # back-to-back one block ahead: slot parity (block % 2) x rod.
     def dma(block, r, chunk, slot, chunk_slot=None):
-        start = (pl.multiple_of(wstart_ref[block * nranges + r], LANE)
-                 + chunk * s)
+        # fields are tiled [T, F, LANE]: a lane-aligned row window is one
+        # contiguous slab -> ONE DMA descriptor (the flat [F, N] layout costs
+        # F strided strips per window and is descriptor-bound)
+        t0 = wstart_ref[block * nranges + r] // LANE + chunk * (s // LANE)
         dst = cand.at[slot, r] if chunk_slot is None else cand.at[chunk_slot, 0]
         sm = sem.at[slot, r] if chunk_slot is None else sem.at[chunk_slot, 0]
         return pltpu.make_async_copy(
-            fields_hbm.at[:, pl.ds(start, s)], dst, sm)
+            fields_hbm.at[pl.ds(t0, s // LANE)], dst, sm)
 
     def start_block(block, slot):
         for r in range(nranges):
@@ -181,10 +183,10 @@ def _density_kernel(cfg: SphConfig, nranges: int, window: int, block_rows: int,
 
     def pair_compute(carry, cand_blk, base_mask):
         rho, ncount = carry
-        xj = cand_blk[0, :].reshape(1, s)
-        yj = cand_blk[1, :].reshape(1, s)
-        zj = cand_blk[2, :].reshape(1, s)
-        mj = cand_blk[3, :].reshape(1, s)
+        xj = cand_blk[:, 0, :].reshape(1, s)
+        yj = cand_blk[:, 1, :].reshape(1, s)
+        zj = cand_blk[:, 2, :].reshape(1, s)
+        mj = cand_blk[:, 3, :].reshape(1, s)
         dx = xi - xj
         dy = yi - yj
         dz = zi - zj
@@ -233,19 +235,19 @@ def _force_kernel(cfg: SphConfig, nranges: int, window: int, block_rows: int,
     rhoi = self_ref[7, :].reshape(b, 1)
 
     p_i = (rhoi - rho0) * k
-    rhoi_inv = jnp.where(rhoi > 0.0, 1.0 / jnp.where(rhoi > 0.0, rhoi, 1.0), 1.0)
+    rhoi_inv = 1.0 / jnp.where(rhoi > 0.0, rhoi, 1.0)
     pw_i = p_i * rhoi_inv * rhoi_inv
 
     def pair_compute(carry, cand_blk, base_mask):
         ax, ay, az, vx, vy, vz = carry
-        xj = cand_blk[0, :].reshape(1, s)
-        yj = cand_blk[1, :].reshape(1, s)
-        zj = cand_blk[2, :].reshape(1, s)
-        vxj = cand_blk[3, :].reshape(1, s)
-        vyj = cand_blk[4, :].reshape(1, s)
-        vzj = cand_blk[5, :].reshape(1, s)
-        mj = cand_blk[6, :].reshape(1, s)
-        rhoj = cand_blk[7, :].reshape(1, s)
+        xj = cand_blk[:, 0, :].reshape(1, s)
+        yj = cand_blk[:, 1, :].reshape(1, s)
+        zj = cand_blk[:, 2, :].reshape(1, s)
+        vxj = cand_blk[:, 3, :].reshape(1, s)
+        vyj = cand_blk[:, 4, :].reshape(1, s)
+        vzj = cand_blk[:, 5, :].reshape(1, s)
+        mj = cand_blk[:, 6, :].reshape(1, s)
+        rhoj = cand_blk[:, 7, :].reshape(1, s)
 
         dx = xi - xj
         dy = yi - yj
@@ -254,19 +256,21 @@ def _force_kernel(cfg: SphConfig, nranges: int, window: int, block_rows: int,
         mask = base_mask & (d2u < h2)
 
         d = jnp.sqrt(d2u) * scale                          # scaled distance
+        # hd carries the mask: every downstream term is a product with it,
+        # so no further selects are needed
         hd = jnp.where(mask, h - d, 0.0)
 
         p_j = (rhoj - rho0) * k
-        rhoj_inv = jnp.where(rhoj > 0.0, 1.0 / jnp.where(rhoj > 0.0, rhoj, 1.0), 1.0)
+        rhoj_safe = jnp.where(rhoj > 0.0, rhoj, 1.0)
+        rhoj_inv = 1.0 / rhoj_safe
         pweight = pw_i + p_j * rhoj_inv * rhoj_inv         # textbook symmetric sum
 
-        center = hd * hd * mj * pweight
-        center = jnp.where(mask, center / (d + eps), 0.0) * scale
+        center = (hd * hd) * (mj * pweight) / (d + eps) * scale
         ax = ax + jnp.sum(dx * center, axis=1, keepdims=True)
         ay = ay + jnp.sum(dy * center, axis=1, keepdims=True)
         az = az + jnp.sum(dz * center, axis=1, keepdims=True)
 
-        vweight = jnp.where(mask, hd * rhoj_inv * mj, 0.0)
+        vweight = hd * (rhoj_inv * mj)
         vx = vx + jnp.sum((vxj - vxi) * vweight, axis=1, keepdims=True)
         vy = vy + jnp.sum((vyj - vyi) * vweight, axis=1, keepdims=True)
         vz = vz + jnp.sum((vzj - vzi) * vweight, axis=1, keepdims=True)
@@ -307,7 +311,7 @@ def _make_grid_spec(nblocks: int, block_rows: int, nranges: int, nfields: int,
         out_specs=out_specs,
         scratch_shapes=[
             # [slot 0/1 = block pipeline, slot 2 rod 0 = multi-chunk overflow]
-            pltpu.VMEM((3, nranges, nfields, window), jnp.float32),
+            pltpu.VMEM((3, nranges, window // LANE, nfields, LANE), jnp.float32),
             pltpu.SemaphoreType.DMA((3, nranges)),
         ],
     )
@@ -350,12 +354,18 @@ def compute_step_quantities(cfg: SphConfig, state: ParticleState
     wstart = wstart.reshape(-1)
     wchunks = wchunks.reshape(-1)
 
+    def tiled(flat):
+        # [F, n_pad] -> [n_pad/LANE, F, LANE]: one window = one contiguous slab
+        f = flat.shape[0]
+        return flat.reshape(f, n_pad // LANE, LANE).transpose(1, 0, 2)
+
     # density fields: x, y, z, m
     fields_d = jnp.stack([
         padf(p.pos_s[:, 0]), padf(p.pos_s[:, 1]), padf(p.pos_s[:, 2]),
         padf(p.mass_s),
     ])
     self_d = jnp.pad(fields_d[:, :n], ((0, 0), (0, pad_rows)))
+    fields_d = tiled(fields_d)
 
     grid_spec_d = _make_grid_spec(nblocks, b, nranges, 4, s, out_specs=(
         pl.BlockSpec((1, b), lambda i, *_: (0, i), memory_space=pltpu.VMEM),
@@ -381,6 +391,7 @@ def compute_step_quantities(cfg: SphConfig, state: ParticleState
         padf(p.mass_s), padf(rho_s),
     ])
     self_f = jnp.pad(fields_f[:, :n], ((0, 0), (0, pad_rows)))
+    fields_f = tiled(fields_f)
 
     grid_spec_f = _make_grid_spec(
         nblocks, b, nranges, 8, s,
