@@ -3,23 +3,28 @@
 Why a kernel at all: the XLA cell-list backend spends ~95% of its time in
 gathers (measured ~0.4M gathered rows/ms on v5e — 20x slower than streaming).
 The sorted cell-list layout makes gathers unnecessary: for a block of B
-consecutive *sorted* particles, each (dy,dz) stencil offset contributes one
+consecutive *sorted* particles, each (dy,dz) stencil rod contributes one
 **contiguous index window** (x-adjacent cells are adjacent in sorted order,
-see ``ops/grid.py``).  So the kernel replaces B x R x S random gathers with a
-few sequential-window DMAs per block:
+see ``ops/grid.py``).  The kernel replaces B x R x S random gathers with 9
+contiguous-slab DMAs per block (fields stored tiled [N/128, F, 128] so each
+window is ONE descriptor), double-buffered one block ahead.
 
-    HBM fields [F, N] --(window DMAs, double-buffered)--> VMEM [F, S]
-    VPU: [B, S] masked pair math, reduced over S
+Pair validity is decided IN-KERNEL from cell ids carried as a candidate
+field: candidate j belongs to rod delta of particle i's cell c iff
+``|cid_j - c - delta| <= 1`` — linear-id wraparound false-positives (x/y/z
+edges) are provably eliminated by the d^2 < h^2 test, since wrapped cells are
+at least a box-width away.  This removes the per-particle range tables (a
+[N,18] gather measured at 29 ms/step at 1M) entirely; per-block DMA windows
+come from the block's first/last cell only.
 
-A block's union window is usually <= S (one DMA); blocks straddling grid-rod
-or grid-plane boundaries get arbitrarily long windows, which are processed
-exactly by a dynamic ``fori_loop`` over S-sized chunks — nothing is ever
-silently dropped.
+Window unions require sign-FREE stencil rods, so the kernel always uses the
+27-cell stencil (9 rods, per-cell constants); with the octant stencil a block
+mixes half-space signs and its union windows span ~2 plane populations
+(measured p75 ~35k rows at 1M).
 
-Per-particle validity (exact range membership, d^2 < h^2, self-exclusion) is
-enforced with masks, so the result is identical in pair *set* to the XLA
-backend; only summation order differs (window order vs candidate order),
-giving ~1 ulp float differences.
+Blocks whose windows exceed the static window size (rod/plane-straddling
+blocks, <2% after the sign-free stencil) are processed exactly by a dynamic
+``fori_loop`` over window-sized chunks — nothing is silently dropped.
 
 Reference counterpart: the SSE inner loop + density/force loops at
 /root/reference/src/sph.cpp:598-683,721-766,778-934.  Compat-mode quirks are
@@ -39,7 +44,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..config import SphConfig
 from ..state import ParticleState
 from . import celllist, physics
-from .grid import unsort
+from .grid import build_grid, unsort
 
 _f32 = jnp.float32
 
@@ -50,31 +55,39 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+# The 9 stencil rods in (dy, dz) row-major order; linear-id offset is
+# (dz*ny + dy)*nx per rod.
+_RODS = [(dy, dz) for dy in (-1, 0, 1) for dz in (-1, 0, 1)]
+
+
 # ---------------------------------------------------------------------------
 # Host-side plumbing
 # ---------------------------------------------------------------------------
 
-def _block_windows(rng_start: jnp.ndarray, rng_end: jnp.ndarray,
-                   nblocks: int, block_rows: int, window: int, n_pad: int
-                   ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Per (block, stencil-offset): lane-aligned DMA window start + chunk count.
+def _block_windows(cfg: SphConfig, cid_sorted: jnp.ndarray, cell_start,
+                   cell_end, nblocks: int, block_rows: int, window: int,
+                   n: int, n_pad: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per (block, rod): lane-aligned DMA window start + chunk count.
 
-    The window is the union of the block rows' candidate ranges; it is
-    processed in ``ceil(len/window)`` chunks inside the kernel.
+    The window for rod delta of a block covering cells [c_first, c_last] is
+    [cell_start[c_first+delta-1], cell_end[c_last+delta+1]) clamped — tiny
+    [nblocks, 9] gathers instead of per-particle range tables.
     """
-    r = rng_start.shape[1]
-    rs = rng_start.reshape(nblocks, block_rows, r)
-    re = rng_end.reshape(nblocks, block_rows, r)
-    valid = rs < re                                       # empty ranges carry a
-    w_start = jnp.min(jnp.where(valid, rs, jnp.iinfo(jnp.int32).max), axis=1)
-    w_start = jnp.where(w_start == jnp.iinfo(jnp.int32).max, 0, w_start)
-    w_start = w_start & ~(LANE - 1)                       # lane alignment
+    deltas = jnp.asarray([(dz * cfg.grid_ny + dy) * cfg.grid_nx
+                          for dy, dz in _RODS], jnp.int32)
+    pad = nblocks * block_rows - n
+    cid_p = jnp.pad(cid_sorted, (0, pad), constant_values=cfg.num_cells - 1)
+    blocks = cid_p.reshape(nblocks, block_rows)
+    c_first = blocks[:, 0]
+    c_last = blocks[:, -1]
+    lo_cell = jnp.clip(c_first[:, None] + deltas[None, :] - 1, 0, cfg.num_cells - 1)
+    hi_cell = jnp.clip(c_last[:, None] + deltas[None, :] + 1, 0, cfg.num_cells - 1)
+    w_start = cell_start[lo_cell]
+    w_end = cell_end[hi_cell]
+
+    w_start = w_start & ~(LANE - 1)                        # lane alignment
     w_start = jnp.clip(w_start, 0, max(n_pad - window, 0))
-    # meaningless position value, so they must be masked out of the max too
-    w_end = jnp.max(jnp.where(valid, re, 0), axis=1)
     w_len = jnp.maximum(w_end - w_start, 0)
-    # chunk c covers [start + c*window, ...); last chunk must stay in bounds.
-    # 0 chunks = no candidates at all: the kernel skips the DMA and compute.
     max_chunks = jnp.maximum((n_pad - window) // window + 1, 1)
     w_chunks = jnp.where(w_len > 0,
                          jnp.clip(-(-w_len // window), 1, max_chunks), 0)
@@ -85,29 +98,23 @@ def _block_windows(rng_start: jnp.ndarray, rng_end: jnp.ndarray,
 # Kernel machinery shared by density and force
 # ---------------------------------------------------------------------------
 
-def _sweep_kernel_body(cfg, nranges, window, block_rows, nfields,
-                       wstart_ref, wchunks_ref,
-                       fields_hbm, rngs_ref, rnge_ref,
+def _sweep_kernel_body(cfg, window, block_rows,
+                       wstart_ref, wchunks_ref, fields_hbm,
                        cand, sem, init_carry, pair_compute):
-    """Generic masked pair sweep: DMA windows, mask, accumulate.
-
-    ``pair_compute(carry, cand_block, mask) -> carry`` does the physics on a
-    [F, S] candidate block against the (closed-over) self rows.
-    """
+    """Generic masked pair sweep: DMA rod windows, mask by cell-id delta,
+    accumulate.  ``pair_compute(carry, cand_block [S/128,F,128], rod_index,
+    not_self_mask) -> carry``."""
     i = pl.program_id(0)
     nblocks = pl.num_programs(0)
     b = block_rows
     s = window
+    nranges = len(_RODS)
     jlane = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1)
     own = (i * b + jax.lax.broadcasted_iota(jnp.int32, (b, 1), 0))
 
-    # Deep pipeline: the per-rod compute (~1-2 us on [B,S]) cannot hide a
-    # single DMA's latency, so ALL nranges window DMAs for a block are issued
-    # back-to-back one block ahead: slot parity (block % 2) x rod.
     def dma(block, r, chunk, slot, chunk_slot=None):
         # fields are tiled [T, F, LANE]: a lane-aligned row window is one
-        # contiguous slab -> ONE DMA descriptor (the flat [F, N] layout costs
-        # F strided strips per window and is descriptor-bound)
+        # contiguous slab -> ONE DMA descriptor
         t0 = wstart_ref[block * nranges + r] // LANE + chunk * (s // LANE)
         dst = cand.at[slot, r] if chunk_slot is None else cand.at[chunk_slot, 0]
         sm = sem.at[slot, r] if chunk_slot is None else sem.at[chunk_slot, 0]
@@ -130,14 +137,8 @@ def _sweep_kernel_body(cfg, nranges, window, block_rows, nfields,
 
     def masked(carry, r, chunk, data):
         jg = wstart_ref[i * nranges + r] + chunk * s + jlane   # [1,S] global idx
-        r_lo = rngs_ref[:, r].reshape(b, 1)
-        r_hi = rnge_ref[:, r].reshape(b, 1)
-        base_mask = (jg >= r_lo) & (jg < r_hi)
-        if nranges != 9 or r == 4:
-            # self-exclusion: own sorted index can only fall inside the
-            # centre rod's range ((dy,dz)=(0,0) = index 4 of the 27-stencil)
-            base_mask = base_mask & (jg != own)
-        return pair_compute(carry, data, base_mask)
+        not_self = jg != own                                   # [B,S]
+        return pair_compute(carry, data, r, not_self)
 
     slot = i % 2
     carry = init_carry
@@ -149,49 +150,49 @@ def _sweep_kernel_body(cfg, nranges, window, block_rows, nfields,
         carry = jax.lax.cond(wchunks_ref[i * nranges + r] > 0,
                              process0, lambda c: c, carry)
 
-        # Rare long windows (<2% of blocks after the sign-free stencil):
-        # exact multi-chunk tail through the dedicated overflow slot.
-        r_lo = rngs_ref[:, r].reshape(b, 1)
-        r_hi = rnge_ref[:, r].reshape(b, 1)
+        # Rare long windows (<2% of blocks): exact multi-chunk tail.
+        def chunk_body(c, carry2, r=r):
+            d = dma(i, r, c, slot, chunk_slot=2)
+            d.start()
+            d.wait()
+            return masked(carry2, r, c, cand[2, 0])
 
-        def chunk_body(c, carry2):
-            c_lo = wstart_ref[i * nranges + r] + c * s
-            live = jnp.any((r_lo < c_lo + s) & (r_hi > c_lo))
-
-            def do(carry3):
-                d = dma(i, r, c, slot, chunk_slot=2)
-                d.start()
-                d.wait()
-                return masked(carry3, r, c, cand[2, 0])
-
-            return jax.lax.cond(live, do, lambda x: x, carry2)
-
-        carry = jax.lax.fori_loop(1, wchunks_ref[i * nranges + r], chunk_body, carry)
+        carry = jax.lax.fori_loop(1, wchunks_ref[i * nranges + r],
+                                  chunk_body, carry)
     return carry
 
 
-def _density_kernel(cfg: SphConfig, nranges: int, window: int, block_rows: int,
+def _rod_deltas(cfg: SphConfig):
+    return [float((dz * cfg.grid_ny + dy) * cfg.grid_nx) for dy, dz in _RODS]
+
+
+def _density_kernel(cfg: SphConfig, window: int, block_rows: int,
                     wstart_ref, wchunks_ref,
-                    fields_hbm, rngs_ref, rnge_ref, self_ref,
+                    fields_hbm, self_ref,
                     rho_ref, ncount_ref,
                     cand, sem):
     b, s = block_rows, window
     h2 = _f32(cfg.h2)
+    deltas = _rod_deltas(cfg)
     xi = self_ref[0, :].reshape(b, 1)
     yi = self_ref[1, :].reshape(b, 1)
     zi = self_ref[2, :].reshape(b, 1)
+    cid_i = self_ref[4, :].reshape(b, 1)                   # cell id as f32
 
-    def pair_compute(carry, cand_blk, base_mask):
+    def pair_compute(carry, cand_blk, r, not_self):
         rho, ncount = carry
         xj = cand_blk[:, 0, :].reshape(1, s)
         yj = cand_blk[:, 1, :].reshape(1, s)
         zj = cand_blk[:, 2, :].reshape(1, s)
         mj = cand_blk[:, 3, :].reshape(1, s)
+        cid_j = cand_blk[:, 4, :].reshape(1, s)
         dx = xi - xj
         dy = yi - yj
         dz = zi - zj
-        d2 = dx * dx + dy * dy + dz * dz                   # unscaled, like mH2 test
-        mask = base_mask & (d2 < h2)
+        d2 = dx * dx + dy * dy + dz * dz                   # unscaled, like mH2
+        dc = cid_j - cid_i                                 # exact ints in f32
+        rod_ok = jnp.abs(dc - _f32(deltas[r])) <= 1.0
+        mask = rod_ok & not_self & (d2 < h2)
         t = _f32(cfg.h_scaled2) - d2 * _f32(cfg.sim_scale * cfg.sim_scale)
         w = _f32(cfg.poly6_norm) * t * t * t
         rho = rho + jnp.sum(jnp.where(mask, mj * w, 0.0), axis=1, keepdims=True)
@@ -200,8 +201,7 @@ def _density_kernel(cfg: SphConfig, nranges: int, window: int, block_rows: int,
 
     init = (jnp.zeros((b, 1), jnp.float32), jnp.zeros((b, 1), jnp.int32))
     rho, ncount = _sweep_kernel_body(
-        cfg, nranges, window, block_rows, 4,
-        wstart_ref, wchunks_ref, fields_hbm, rngs_ref, rnge_ref,
+        cfg, window, block_rows, wstart_ref, wchunks_ref, fields_hbm,
         cand, sem, init, pair_compute)
 
     if cfg.include_self_density:
@@ -213,9 +213,9 @@ def _density_kernel(cfg: SphConfig, nranges: int, window: int, block_rows: int,
     ncount_ref[0, :] = ncount.reshape(b)
 
 
-def _force_kernel(cfg: SphConfig, nranges: int, window: int, block_rows: int,
+def _force_kernel(cfg: SphConfig, window: int, block_rows: int,
                   wstart_ref, wchunks_ref,
-                  fields_hbm, rngs_ref, rnge_ref, self_ref,
+                  fields_hbm, self_ref,
                   acc_ref,
                   cand, sem):
     b, s = block_rows, window
@@ -225,6 +225,7 @@ def _force_kernel(cfg: SphConfig, nranges: int, window: int, block_rows: int,
     eps = _f32(cfg.pressure_softening)
     k = _f32(cfg.stiffness)
     rho0 = _f32(cfg.rho0)
+    deltas = _rod_deltas(cfg)
 
     xi = self_ref[0, :].reshape(b, 1)
     yi = self_ref[1, :].reshape(b, 1)
@@ -233,12 +234,13 @@ def _force_kernel(cfg: SphConfig, nranges: int, window: int, block_rows: int,
     vyi = self_ref[4, :].reshape(b, 1)
     vzi = self_ref[5, :].reshape(b, 1)
     rhoi = self_ref[7, :].reshape(b, 1)
+    cid_i = self_ref[8, :].reshape(b, 1)
 
     p_i = (rhoi - rho0) * k
     rhoi_inv = 1.0 / jnp.where(rhoi > 0.0, rhoi, 1.0)
     pw_i = p_i * rhoi_inv * rhoi_inv
 
-    def pair_compute(carry, cand_blk, base_mask):
+    def pair_compute(carry, cand_blk, r, not_self):
         ax, ay, az, vx, vy, vz = carry
         xj = cand_blk[:, 0, :].reshape(1, s)
         yj = cand_blk[:, 1, :].reshape(1, s)
@@ -248,22 +250,23 @@ def _force_kernel(cfg: SphConfig, nranges: int, window: int, block_rows: int,
         vzj = cand_blk[:, 5, :].reshape(1, s)
         mj = cand_blk[:, 6, :].reshape(1, s)
         rhoj = cand_blk[:, 7, :].reshape(1, s)
+        cid_j = cand_blk[:, 8, :].reshape(1, s)
 
         dx = xi - xj
         dy = yi - yj
         dz = zi - zj
         d2u = dx * dx + dy * dy + dz * dz                  # unscaled
-        mask = base_mask & (d2u < h2)
+        dc = cid_j - cid_i
+        rod_ok = jnp.abs(dc - _f32(deltas[r])) <= 1.0
+        mask = rod_ok & not_self & (d2u < h2)
 
         d = jnp.sqrt(d2u) * scale                          # scaled distance
-        # hd carries the mask: every downstream term is a product with it,
-        # so no further selects are needed
+        # hd carries the mask: every downstream term is a product with it
         hd = jnp.where(mask, h - d, 0.0)
 
         p_j = (rhoj - rho0) * k
-        rhoj_safe = jnp.where(rhoj > 0.0, rhoj, 1.0)
-        rhoj_inv = 1.0 / rhoj_safe
-        pweight = pw_i + p_j * rhoj_inv * rhoj_inv         # textbook symmetric sum
+        rhoj_inv = 1.0 / jnp.where(rhoj > 0.0, rhoj, 1.0)
+        pweight = pw_i + p_j * rhoj_inv * rhoj_inv         # textbook symmetric
 
         center = (hd * hd) * (mj * pweight) / (d + eps) * scale
         ax = ax + jnp.sum(dx * center, axis=1, keepdims=True)
@@ -279,8 +282,7 @@ def _force_kernel(cfg: SphConfig, nranges: int, window: int, block_rows: int,
     zero = jnp.zeros((b, 1), jnp.float32)
     init = (zero, zero, zero, zero, zero, zero)
     ax, ay, az, vx, vy, vz = _sweep_kernel_body(
-        cfg, nranges, window, block_rows, 8,
-        wstart_ref, wchunks_ref, fields_hbm, rngs_ref, rnge_ref,
+        cfg, window, block_rows, wstart_ref, wchunks_ref, fields_hbm,
         cand, sem, init, pair_compute)
 
     norm = _f32(cfg.visc_lap_norm)
@@ -294,25 +296,22 @@ def _force_kernel(cfg: SphConfig, nranges: int, window: int, block_rows: int,
 # pallas_call wrappers
 # ---------------------------------------------------------------------------
 
-def _make_grid_spec(nblocks: int, block_rows: int, nranges: int, nfields: int,
+def _make_grid_spec(nblocks: int, block_rows: int, nfields: int,
                     window: int, out_specs):
     return pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,                             # wstart, wchunks
         grid=(nblocks,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),          # fields (HBM)
-            pl.BlockSpec((block_rows, nranges), lambda i, *_: (i, 0),
-                         memory_space=pltpu.VMEM),         # rng_start
-            pl.BlockSpec((block_rows, nranges), lambda i, *_: (i, 0),
-                         memory_space=pltpu.VMEM),         # rng_end
+            pl.BlockSpec(memory_space=pltpu.ANY),          # fields (HBM, tiled)
             pl.BlockSpec((nfields, block_rows), lambda i, *_: (0, i),
                          memory_space=pltpu.VMEM),         # self rows
         ],
         out_specs=out_specs,
         scratch_shapes=[
             # [slot 0/1 = block pipeline, slot 2 rod 0 = multi-chunk overflow]
-            pltpu.VMEM((3, nranges, window // LANE, nfields, LANE), jnp.float32),
-            pltpu.SemaphoreType.DMA((3, nranges)),
+            pltpu.VMEM((3, len(_RODS), window // LANE, nfields, LANE),
+                       jnp.float32),
+            pltpu.SemaphoreType.DMA((3, len(_RODS))),
         ],
     )
 
@@ -323,33 +322,32 @@ def compute_step_quantities(cfg: SphConfig, state: ParticleState
     if cfg.compat:
         raise ValueError("pallas backend supports default mode only; "
                          "compat parity runs use the XLA backends")
+    if cfg.num_cells >= 1 << 24:
+        raise ValueError("pallas backend stores cell ids in f32 "
+                         "(exact below 2^24 cells); shrink the grid")
     b, s = cfg.pallas_block_rows, cfg.pallas_window
     if s % LANE:
         raise ValueError(f"pallas_window must be a multiple of {LANE}")
-    if cfg.pallas_interpret is False and s * b > 1 << 19:
-        raise ValueError("pallas_window * pallas_block_rows too large for VMEM")
     n = state.position.shape[0]
     nblocks = -(-n // b)
     n_rows = nblocks * b
-
-    # The window unions require sign-FREE stencil rods: with the octant
-    # stencil a block mixes sz=+1/-1 rows, whose (0,sz) rods live in planes
-    # z-1 and z+1 — ~two plane-populations apart in sorted index space — so
-    # the union window explodes (measured: p75 window ~35k rows at 1M).  The
-    # 27-cell stencil's 9 rods are per-cell constants, keeping every window
-    # at (block-extent + 2 cells) * occupancy.
-    p = celllist.prepare(cfg.replace(neighborhood="cell27"), state)
-    nranges = p.rng_start.shape[1]
-
     pad_rows = n_rows - n
-    rngs = jnp.pad(p.rng_start, ((0, pad_rows), (0, 0)))
-    rnge = jnp.pad(p.rng_end, ((0, pad_rows), (0, 0)))
+
+    g = build_grid(cfg, state.position)
+    stacked = jnp.concatenate(
+        [state.position, state.velocity, state.mass[:, None]], axis=1)
+    stacked_s = stacked[g.order]                           # ONE row gather
+    pos_s = stacked_s[:, 0:3]
+    vel_s = stacked_s[:, 3:6]
+    mass_s = stacked_s[:, 6]
+    cid_f = g.cell_ids.astype(jnp.float32)                 # exact below 2^24
 
     n_pad = _round_up(n, LANE) + s
-    def padf(a):
-        return jnp.pad(a, (0, n_pad - n))
+    def padf(a, fill=0.0):
+        return jnp.pad(a, (0, n_pad - n), constant_values=fill)
 
-    wstart, wchunks = _block_windows(rngs, rnge, nblocks, b, s, n_pad)
+    wstart, wchunks = _block_windows(
+        cfg, g.cell_ids, g.cell_start, g.cell_end, nblocks, b, s, n, n_pad)
     # SMEM prefetch operands are lane-padded per row; keep them 1-D.
     wstart = wstart.reshape(-1)
     wchunks = wchunks.reshape(-1)
@@ -359,57 +357,58 @@ def compute_step_quantities(cfg: SphConfig, state: ParticleState
         f = flat.shape[0]
         return flat.reshape(f, n_pad // LANE, LANE).transpose(1, 0, 2)
 
-    # density fields: x, y, z, m
-    fields_d = jnp.stack([
-        padf(p.pos_s[:, 0]), padf(p.pos_s[:, 1]), padf(p.pos_s[:, 2]),
-        padf(p.mass_s),
-    ])
-    self_d = jnp.pad(fields_d[:, :n], ((0, 0), (0, pad_rows)))
-    fields_d = tiled(fields_d)
+    def selfpad(flat):
+        return jnp.pad(flat[:, :n], ((0, 0), (0, pad_rows)))
 
-    grid_spec_d = _make_grid_spec(nblocks, b, nranges, 4, s, out_specs=(
+    # padding cid = -10 keeps padded rows out of every rod mask
+    cid_pad = padf(cid_f, fill=-10.0)
+
+    # density fields: x, y, z, m, cid
+    fields_d = jnp.stack([
+        padf(pos_s[:, 0]), padf(pos_s[:, 1]), padf(pos_s[:, 2]),
+        padf(mass_s), cid_pad,
+    ])
+    self_d = selfpad(fields_d)
+    grid_spec_d = _make_grid_spec(nblocks, b, 5, s, out_specs=(
         pl.BlockSpec((1, b), lambda i, *_: (0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, b), lambda i, *_: (0, i), memory_space=pltpu.VMEM),
     ))
     rho_blocks, nc_blocks = pl.pallas_call(
-        partial(_density_kernel, cfg, nranges, s, b),
+        partial(_density_kernel, cfg, s, b),
         out_shape=(
             jax.ShapeDtypeStruct((1, n_rows), jnp.float32),
             jax.ShapeDtypeStruct((1, n_rows), jnp.int32),
         ),
         grid_spec=grid_spec_d,
         interpret=cfg.pallas_interpret,
-    )(wstart, wchunks, fields_d, rngs, rnge, self_d)
+    )(wstart, wchunks, tiled(fields_d), self_d)
 
     rho_s = rho_blocks.reshape(n_rows)[:n]
     ncount_s = nc_blocks.reshape(n_rows)[:n]
 
-    # force fields: x, y, z, vx, vy, vz, m, rho
+    # force fields: x, y, z, vx, vy, vz, m, rho, cid
     fields_f = jnp.stack([
-        padf(p.pos_s[:, 0]), padf(p.pos_s[:, 1]), padf(p.pos_s[:, 2]),
-        padf(p.vel_s[:, 0]), padf(p.vel_s[:, 1]), padf(p.vel_s[:, 2]),
-        padf(p.mass_s), padf(rho_s),
+        padf(pos_s[:, 0]), padf(pos_s[:, 1]), padf(pos_s[:, 2]),
+        padf(vel_s[:, 0]), padf(vel_s[:, 1]), padf(vel_s[:, 2]),
+        padf(mass_s), padf(rho_s), cid_pad,
     ])
-    self_f = jnp.pad(fields_f[:, :n], ((0, 0), (0, pad_rows)))
-    fields_f = tiled(fields_f)
-
+    self_f = selfpad(fields_f)
     grid_spec_f = _make_grid_spec(
-        nblocks, b, nranges, 8, s,
+        nblocks, b, 9, s,
         out_specs=pl.BlockSpec((3, b), lambda i, *_: (0, i),
                                memory_space=pltpu.VMEM))
     acc_rows = pl.pallas_call(
-        partial(_force_kernel, cfg, nranges, s, b),
+        partial(_force_kernel, cfg, s, b),
         out_shape=jax.ShapeDtypeStruct((3, n_rows), jnp.float32),
         grid_spec=grid_spec_f,
         interpret=cfg.pallas_interpret,
-    )(wstart, wchunks, fields_f, rngs, rnge, self_f)
+    )(wstart, wchunks, tiled(fields_f), self_f)
 
     acc_s = acc_rows[:, :n].T                              # [N, 3]
-    acc_s = acc_s + physics.central_gravity(cfg, p.pos_s)
+    acc_s = acc_s + physics.central_gravity(cfg, pos_s)
     acc_s = acc_s + jnp.asarray(cfg.gravity, jnp.float32)
     acc_s = physics.cfl_clamp(cfg, acc_s)
 
-    g = p.grid
     aux = celllist.CellListAux(
         neighbor_count=unsort(g.order, ncount_s),
         overflow_cells=g.overflow_cells,
