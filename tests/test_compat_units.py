@@ -48,19 +48,24 @@ def test_cell_table_ascending_ids():
         assert (t[cid, c[cid]:] == 64).all()
 
 
-def test_block_windows_ignore_empty_ranges():
-    """Empty ranges (start==end) must not stretch the window union."""
-    nblocks, b, r, window = 1, 4, 2, 256
-    rs = jnp.asarray([[10, 500000], [12, 500000], [11, 500000], [13, 500000]],
-                     jnp.int32).reshape(nblocks * b, r)
-    re = jnp.asarray([[40, 500000], [42, 500000], [41, 500000], [43, 500000]],
-                     jnp.int32).reshape(nblocks * b, r)   # r=1 ranges all empty
-    ws, wc = _block_windows(rs, re, nblocks, b, window, n_pad=600000)
+def test_block_windows_from_cells():
+    """Windows derive from the block's first/last cell; empty rods give 0
+    chunks (DMA + compute skipped); starts are lane-aligned."""
+    cfg = SphConfig(num_particles=8)
+    # all particles in one interior cell -> center rod window = that cell's
+    # range; rods whose cells are empty -> 0 chunks
+    cid = jnp.full((8,), (16 * cfg.grid_ny + 16) * cfg.grid_nx + 16, jnp.int32)
+    counts = jnp.zeros((cfg.num_cells,), jnp.int32).at[cid[0]].add(8)
+    cell_end = jnp.cumsum(counts).astype(jnp.int32)
+    cell_start = cell_end - counts
+    ws, wc = _block_windows(cfg, cid, cell_start, cell_end,
+                            nblocks=1, block_rows=8, window=256, n=8,
+                            n_pad=1024)
     ws, wc = np.asarray(ws), np.asarray(wc)
-    assert ws[0, 0] == 0          # 10 aligned down
-    assert wc[0, 0] == 1
-    assert wc[0, 1] == 0          # empty ranges -> 0 chunks (DMA+compute skipped)
-    assert ws[0, 0] % LANE == 0
+    assert ws.shape == (1, 9) and wc.shape == (1, 9)
+    assert wc[0, 4] == 1                     # center rod: the occupied cell
+    assert (ws % LANE == 0).all()
+    assert wc[0, 0] == 0 and wc[0, 8] == 0   # empty diagonal rods skipped
 
 
 def test_honey_scene_stable():
