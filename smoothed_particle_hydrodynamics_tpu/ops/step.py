@@ -58,7 +58,10 @@ def step(cfg: SphConfig, state: ParticleState, backend: Backend = "celllist"
         return compat_step(cfg, state)
     acc, rho, aux = compute_forces(cfg, state, backend)
     state = state._replace(density=rho, neighbor_count=aux.neighbor_count)
-    new_state, tally = kdk_integrate(cfg, state, acc)
+    if cfg.second_kick == "full":
+        new_state, tally = _kdk_full(cfg, state, acc, backend)
+    else:
+        new_state, tally = kdk_integrate(cfg, state, acc)
     nc = aux.neighbor_count
     diag = StepDiagnostics(
         kinetic_energy=tally.kinetic,
@@ -70,6 +73,33 @@ def step(cfg: SphConfig, state: ParticleState, backend: Backend = "celllist"
         overflow_cells=aux.overflow_cells,
     )
     return new_state, diag
+
+
+def _kdk_full(cfg: SphConfig, state: ParticleState, acc,
+              backend: Backend) -> tuple[ParticleState, "object"]:
+    """True 2nd-order leapfrog: the closing half-kick re-evaluates the FULL
+    force (hydro + gravity) at the drifted positions.
+
+    The reference's closing kick is gravity-only and uses a full dt
+    (/root/reference/src/sph.cpp:972-995, second_kick="gravity"); this is the
+    corrected symmetric integrator at ~2x cost per step.
+    """
+    import jax.numpy as jnp
+
+    from .integrate import energy_tally, reflect_boundary
+
+    dt = jnp.float32(cfg.dt)
+    v_half = state.velocity + acc * (dt * 0.5)
+    new_pos = state.position + v_half * (dt / jnp.float32(cfg.sim_scale))
+    mid = state._replace(position=new_pos, velocity=v_half)
+    acc2, rho2, aux2 = compute_forces(cfg, mid, backend)
+    new_vel = v_half + acc2 * (dt * 0.5)
+    if cfg.boundary == "reflect":
+        new_pos, new_vel = reflect_boundary(cfg, state.position, new_pos, new_vel)
+    tally = energy_tally(cfg, new_pos, new_vel, state.mass)
+    new_state = state._replace(position=new_pos, velocity=new_vel,
+                               acceleration=acc2, density=rho2)
+    return new_state, tally
 
 
 def make_step(cfg: SphConfig, backend: Backend = "celllist",
