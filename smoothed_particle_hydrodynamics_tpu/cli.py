@@ -56,7 +56,6 @@ def cmd_run(args) -> int:
 
     import jax
 
-    from .ops.step import run_steps
     from .utils.diagnostics import DiagnosticsWriter, detect_blowup
     from .utils import io as ckpt_io
 

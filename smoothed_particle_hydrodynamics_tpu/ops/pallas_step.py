@@ -322,9 +322,11 @@ def compute_step_quantities(cfg: SphConfig, state: ParticleState
     if cfg.compat:
         raise ValueError("pallas backend supports default mode only; "
                          "compat parity runs use the XLA backends")
-    if cfg.num_cells >= 1 << 24:
+    # f32 represents integers exactly up to 2^24, so max cid = num_cells-1
+    # must satisfy num_cells <= 2^24 (256^3 is exactly at the limit).
+    if cfg.num_cells > 1 << 24:
         raise ValueError("pallas backend stores cell ids in f32 "
-                         "(exact below 2^24 cells); shrink the grid")
+                         "(exact up to 2^24 cells); shrink the grid")
     b, s = cfg.pallas_block_rows, cfg.pallas_window
     if s % LANE:
         raise ValueError(f"pallas_window must be a multiple of {LANE}")
