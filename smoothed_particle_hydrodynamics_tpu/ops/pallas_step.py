@@ -91,7 +91,14 @@ def _block_windows(cfg: SphConfig, cid_sorted: jnp.ndarray, cell_start,
     max_chunks = jnp.maximum((n_pad - window) // window + 1, 1)
     w_chunks = jnp.where(w_len > 0,
                          jnp.clip(-(-w_len // window), 1, max_chunks), 0)
-    return w_start.astype(jnp.int32), w_chunks.astype(jnp.int32)
+    # SMEM prefetch budget is ~1MB and each operand is row-padded, so the two
+    # tables are PACKED into one i32: start is 128-aligned -> 7 free low bits
+    # hold min(chunks, 127).  Chunk counts above 127 are clamped; the clamped
+    # remainder is counted and surfaced as truncated_ranges (observable, and
+    # astronomically rare: it needs one rod window spanning >127*window rows).
+    clamped = jnp.maximum(w_chunks - 127, 0)
+    packed = w_start.astype(jnp.int32) | jnp.minimum(w_chunks, 127).astype(jnp.int32)
+    return packed, jnp.sum(clamped).astype(jnp.int32)
 
 
 # ---------------------------------------------------------------------------
@@ -99,7 +106,7 @@ def _block_windows(cfg: SphConfig, cid_sorted: jnp.ndarray, cell_start,
 # ---------------------------------------------------------------------------
 
 def _sweep_kernel_body(cfg, window, block_rows,
-                       wstart_ref, wchunks_ref, fields_hbm,
+                       wtab_ref, fields_hbm,
                        cand, sem, init_carry, pair_compute):
     """Generic masked pair sweep: DMA rod windows, mask by cell-id delta,
     accumulate.  ``pair_compute(carry, cand_block [S/128,F,128], rod_index,
@@ -112,10 +119,16 @@ def _sweep_kernel_body(cfg, window, block_rows,
     jlane = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1)
     own = (i * b + jax.lax.broadcasted_iota(jnp.int32, (b, 1), 0))
 
+    def wstart(block, r):
+        return wtab_ref[block * nranges + r] & ~(LANE - 1)
+
+    def wchunks(block, r):
+        return wtab_ref[block * nranges + r] & (LANE - 1)
+
     def dma(block, r, chunk, slot, chunk_slot=None):
         # fields are tiled [T, F, LANE]: a lane-aligned row window is one
         # contiguous slab -> ONE DMA descriptor
-        t0 = wstart_ref[block * nranges + r] // LANE + chunk * (s // LANE)
+        t0 = wstart(block, r) // LANE + chunk * (s // LANE)
         dst = cand.at[slot, r] if chunk_slot is None else cand.at[chunk_slot, 0]
         sm = sem.at[slot, r] if chunk_slot is None else sem.at[chunk_slot, 0]
         return pltpu.make_async_copy(
@@ -123,7 +136,7 @@ def _sweep_kernel_body(cfg, window, block_rows,
 
     def start_block(block, slot):
         for r in range(nranges):
-            @pl.when(wchunks_ref[block * nranges + r] > 0)
+            @pl.when(wchunks(block, r) > 0)
             def _():
                 dma(block, r, 0, slot).start()
 
@@ -136,7 +149,7 @@ def _sweep_kernel_body(cfg, window, block_rows,
         start_block(i + 1, (i + 1) % 2)
 
     def masked(carry, r, chunk, data):
-        jg = wstart_ref[i * nranges + r] + chunk * s + jlane   # [1,S] global idx
+        jg = wstart(i, r) + chunk * s + jlane                  # [1,S] global idx
         not_self = jg != own                                   # [B,S]
         return pair_compute(carry, data, r, not_self)
 
@@ -147,7 +160,7 @@ def _sweep_kernel_body(cfg, window, block_rows,
             dma(i, r, 0, slot).wait()
             return masked(c, r, 0, cand[slot, r])
 
-        carry = jax.lax.cond(wchunks_ref[i * nranges + r] > 0,
+        carry = jax.lax.cond(wchunks(i, r) > 0,
                              process0, lambda c: c, carry)
 
         # Rare long windows (<2% of blocks): exact multi-chunk tail.
@@ -157,8 +170,7 @@ def _sweep_kernel_body(cfg, window, block_rows,
             d.wait()
             return masked(carry2, r, c, cand[2, 0])
 
-        carry = jax.lax.fori_loop(1, wchunks_ref[i * nranges + r],
-                                  chunk_body, carry)
+        carry = jax.lax.fori_loop(1, wchunks(i, r), chunk_body, carry)
     return carry
 
 
@@ -167,7 +179,7 @@ def _rod_deltas(cfg: SphConfig):
 
 
 def _density_kernel(cfg: SphConfig, window: int, block_rows: int,
-                    wstart_ref, wchunks_ref,
+                    wtab_ref,
                     fields_hbm, self_ref,
                     rho_ref, ncount_ref,
                     cand, sem):
@@ -201,7 +213,7 @@ def _density_kernel(cfg: SphConfig, window: int, block_rows: int,
 
     init = (jnp.zeros((b, 1), jnp.float32), jnp.zeros((b, 1), jnp.int32))
     rho, ncount = _sweep_kernel_body(
-        cfg, window, block_rows, wstart_ref, wchunks_ref, fields_hbm,
+        cfg, window, block_rows, wtab_ref, fields_hbm,
         cand, sem, init, pair_compute)
 
     if cfg.include_self_density:
@@ -214,7 +226,7 @@ def _density_kernel(cfg: SphConfig, window: int, block_rows: int,
 
 
 def _force_kernel(cfg: SphConfig, window: int, block_rows: int,
-                  wstart_ref, wchunks_ref,
+                  wtab_ref,
                   fields_hbm, self_ref,
                   acc_ref,
                   cand, sem):
@@ -282,7 +294,7 @@ def _force_kernel(cfg: SphConfig, window: int, block_rows: int,
     zero = jnp.zeros((b, 1), jnp.float32)
     init = (zero, zero, zero, zero, zero, zero)
     ax, ay, az, vx, vy, vz = _sweep_kernel_body(
-        cfg, window, block_rows, wstart_ref, wchunks_ref, fields_hbm,
+        cfg, window, block_rows, wtab_ref, fields_hbm,
         cand, sem, init, pair_compute)
 
     norm = _f32(cfg.visc_lap_norm)
@@ -299,7 +311,7 @@ def _force_kernel(cfg: SphConfig, window: int, block_rows: int,
 def _make_grid_spec(nblocks: int, block_rows: int, nfields: int,
                     window: int, out_specs):
     return pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,                             # wstart, wchunks
+        num_scalar_prefetch=1,                             # packed window table
         grid=(nblocks,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),          # fields (HBM, tiled)
@@ -331,6 +343,11 @@ def compute_step_quantities(cfg: SphConfig, state: ParticleState
     if s % LANE:
         raise ValueError(f"pallas_window must be a multiple of {LANE}")
     n = state.position.shape[0]
+    # auto-scale the block so the packed SMEM window table (nblocks*9*4B,
+    # budget ~768KB) fits at very large N; the window grows with the block
+    while -(-n // b) * len(_RODS) * 4 > (768 << 10):
+        b *= 2
+        s = _round_up(b + (s - cfg.pallas_block_rows) + 256, LANE)
     nblocks = -(-n // b)
     n_rows = nblocks * b
     pad_rows = n_rows - n
@@ -348,11 +365,9 @@ def compute_step_quantities(cfg: SphConfig, state: ParticleState
     def padf(a, fill=0.0):
         return jnp.pad(a, (0, n_pad - n), constant_values=fill)
 
-    wstart, wchunks = _block_windows(
+    wtab, clamped_chunks = _block_windows(
         cfg, g.cell_ids, g.cell_start, g.cell_end, nblocks, b, s, n, n_pad)
-    # SMEM prefetch operands are lane-padded per row; keep them 1-D.
-    wstart = wstart.reshape(-1)
-    wchunks = wchunks.reshape(-1)
+    wtab = wtab.reshape(-1)          # SMEM operands are row-padded; keep 1-D
 
     def tiled(flat):
         # [F, n_pad] -> [n_pad/LANE, F, LANE]: one window = one contiguous slab
@@ -383,7 +398,7 @@ def compute_step_quantities(cfg: SphConfig, state: ParticleState
         ),
         grid_spec=grid_spec_d,
         interpret=cfg.pallas_interpret,
-    )(wstart, wchunks, tiled(fields_d), self_d)
+    )(wtab, tiled(fields_d), self_d)
 
     rho_s = rho_blocks.reshape(n_rows)[:n]
     ncount_s = nc_blocks.reshape(n_rows)[:n]
@@ -404,7 +419,7 @@ def compute_step_quantities(cfg: SphConfig, state: ParticleState
         out_shape=jax.ShapeDtypeStruct((3, n_rows), jnp.float32),
         grid_spec=grid_spec_f,
         interpret=cfg.pallas_interpret,
-    )(wstart, wchunks, tiled(fields_f), self_f)
+    )(wtab, tiled(fields_f), self_f)
 
     acc_s = acc_rows[:, :n].T                              # [N, 3]
     acc_s = acc_s + physics.central_gravity(cfg, pos_s)
@@ -414,6 +429,6 @@ def compute_step_quantities(cfg: SphConfig, state: ParticleState
     aux = celllist.CellListAux(
         neighbor_count=unsort(g.order, ncount_s),
         overflow_cells=g.overflow_cells,
-        truncated_ranges=jnp.zeros((), jnp.int32),  # multi-chunk: nothing dropped
+        truncated_ranges=clamped_chunks,  # only >127-chunk windows clamp
     )
     return unsort(g.order, acc_s), unsort(g.order, rho_s), aux
