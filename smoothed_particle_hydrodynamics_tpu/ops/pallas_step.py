@@ -105,19 +105,21 @@ def _block_windows(cfg: SphConfig, cid_sorted: jnp.ndarray, cell_start,
 # Kernel machinery shared by density and force
 # ---------------------------------------------------------------------------
 
-def _sweep_kernel_body(cfg, window, block_rows,
+def _sweep_kernel_body(cfg, window, block_rows, block_base,
                        wtab_ref, fields_hbm,
                        cand, sem, init_carry, pair_compute):
     """Generic masked pair sweep: DMA rod windows, mask by cell-id delta,
     accumulate.  ``pair_compute(carry, cand_block [S/128,F,128], rod_index,
-    not_self_mask) -> carry``."""
+    not_self_mask) -> carry``.  ``block_base`` is the first global block of
+    this grid chunk (large-N runs split the grid to bound SMEM tables)."""
     i = pl.program_id(0)
     nblocks = pl.num_programs(0)
     b = block_rows
     s = window
     nranges = len(_RODS)
     jlane = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1)
-    own = (i * b + jax.lax.broadcasted_iota(jnp.int32, (b, 1), 0))
+    own = ((block_base + i) * b
+           + jax.lax.broadcasted_iota(jnp.int32, (b, 1), 0))
 
     def wstart(block, r):
         return wtab_ref[block * nranges + r] & ~(LANE - 1)
@@ -179,6 +181,7 @@ def _rod_deltas(cfg: SphConfig):
 
 
 def _density_kernel(cfg: SphConfig, window: int, block_rows: int,
+                    block_base: int,
                     wtab_ref,
                     fields_hbm, self_ref,
                     rho_ref, ncount_ref,
@@ -213,7 +216,7 @@ def _density_kernel(cfg: SphConfig, window: int, block_rows: int,
 
     init = (jnp.zeros((b, 1), jnp.float32), jnp.zeros((b, 1), jnp.int32))
     rho, ncount = _sweep_kernel_body(
-        cfg, window, block_rows, wtab_ref, fields_hbm,
+        cfg, window, block_rows, block_base, wtab_ref, fields_hbm,
         cand, sem, init, pair_compute)
 
     if cfg.include_self_density:
@@ -226,6 +229,7 @@ def _density_kernel(cfg: SphConfig, window: int, block_rows: int,
 
 
 def _force_kernel(cfg: SphConfig, window: int, block_rows: int,
+                  block_base: int,
                   wtab_ref,
                   fields_hbm, self_ref,
                   acc_ref,
@@ -294,7 +298,7 @@ def _force_kernel(cfg: SphConfig, window: int, block_rows: int,
     zero = jnp.zeros((b, 1), jnp.float32)
     init = (zero, zero, zero, zero, zero, zero)
     ax, ay, az, vx, vy, vz = _sweep_kernel_body(
-        cfg, window, block_rows, wtab_ref, fields_hbm,
+        cfg, window, block_rows, block_base, wtab_ref, fields_hbm,
         cand, sem, init, pair_compute)
 
     norm = _f32(cfg.visc_lap_norm)
@@ -343,12 +347,10 @@ def compute_step_quantities(cfg: SphConfig, state: ParticleState
     if s % LANE:
         raise ValueError(f"pallas_window must be a multiple of {LANE}")
     n = state.position.shape[0]
-    # auto-scale the block so the packed SMEM window table (nblocks*9*4B,
-    # budget ~768KB) fits at very large N; the window grows with the block
-    while -(-n // b) * len(_RODS) * 4 > (768 << 10):
-        b *= 2
-        s = _round_up(b + (s - cfg.pallas_block_rows) + 256, LANE)
     nblocks = -(-n // b)
+    # SMEM prefetch tables are ~1MB-budgeted: split the grid into chunks of
+    # at most MAX_BLOCKS blocks (each chunk = one pallas_call over a slice).
+    MAX_BLOCKS = (512 << 10) // (len(_RODS) * 4)
     n_rows = nblocks * b
     pad_rows = n_rows - n
 
@@ -386,22 +388,31 @@ def compute_step_quantities(cfg: SphConfig, state: ParticleState
         padf(mass_s), cid_pad,
     ])
     self_d = selfpad(fields_d)
-    grid_spec_d = _make_grid_spec(nblocks, b, 5, s, out_specs=(
-        pl.BlockSpec((1, b), lambda i, *_: (0, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, b), lambda i, *_: (0, i), memory_space=pltpu.VMEM),
-    ))
-    rho_blocks, nc_blocks = pl.pallas_call(
-        partial(_density_kernel, cfg, s, b),
-        out_shape=(
-            jax.ShapeDtypeStruct((1, n_rows), jnp.float32),
-            jax.ShapeDtypeStruct((1, n_rows), jnp.int32),
-        ),
-        grid_spec=grid_spec_d,
-        interpret=cfg.pallas_interpret,
-    )(wtab, tiled(fields_d), self_d)
-
-    rho_s = rho_blocks.reshape(n_rows)[:n]
-    ncount_s = nc_blocks.reshape(n_rows)[:n]
+    tiled_d = tiled(fields_d)
+    rho_parts, nc_parts = [], []
+    for base in range(0, nblocks, MAX_BLOCKS):
+        nb_c = min(MAX_BLOCKS, nblocks - base)
+        rows_c = nb_c * b
+        grid_spec_d = _make_grid_spec(nb_c, b, 5, s, out_specs=(
+            pl.BlockSpec((1, b), lambda i, *_: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b), lambda i, *_: (0, i), memory_space=pltpu.VMEM),
+        ))
+        r_c, n_c = pl.pallas_call(
+            partial(_density_kernel, cfg, s, b, base),
+            out_shape=(
+                jax.ShapeDtypeStruct((1, rows_c), jnp.float32),
+                jax.ShapeDtypeStruct((1, rows_c), jnp.int32),
+            ),
+            grid_spec=grid_spec_d,
+            interpret=cfg.pallas_interpret,
+        )(jax.lax.dynamic_slice_in_dim(wtab, base * len(_RODS),
+                                       nb_c * len(_RODS)),
+          tiled_d,
+          jax.lax.dynamic_slice_in_dim(self_d, base * b, rows_c, axis=1))
+        rho_parts.append(r_c.reshape(rows_c))
+        nc_parts.append(n_c.reshape(rows_c))
+    rho_s = jnp.concatenate(rho_parts)[:n]
+    ncount_s = jnp.concatenate(nc_parts)[:n]
 
     # force fields: x, y, z, vx, vy, vz, m, rho, cid
     fields_f = jnp.stack([
@@ -410,17 +421,26 @@ def compute_step_quantities(cfg: SphConfig, state: ParticleState
         padf(mass_s), padf(rho_s), cid_pad,
     ])
     self_f = selfpad(fields_f)
-    grid_spec_f = _make_grid_spec(
-        nblocks, b, 9, s,
-        out_specs=pl.BlockSpec((3, b), lambda i, *_: (0, i),
-                               memory_space=pltpu.VMEM))
-    acc_rows = pl.pallas_call(
-        partial(_force_kernel, cfg, s, b),
-        out_shape=jax.ShapeDtypeStruct((3, n_rows), jnp.float32),
-        grid_spec=grid_spec_f,
-        interpret=cfg.pallas_interpret,
-    )(wtab, tiled(fields_f), self_f)
-
+    tiled_f = tiled(fields_f)
+    acc_parts = []
+    for base in range(0, nblocks, MAX_BLOCKS):
+        nb_c = min(MAX_BLOCKS, nblocks - base)
+        rows_c = nb_c * b
+        grid_spec_f = _make_grid_spec(
+            nb_c, b, 9, s,
+            out_specs=pl.BlockSpec((3, b), lambda i, *_: (0, i),
+                                   memory_space=pltpu.VMEM))
+        a_c = pl.pallas_call(
+            partial(_force_kernel, cfg, s, b, base),
+            out_shape=jax.ShapeDtypeStruct((3, rows_c), jnp.float32),
+            grid_spec=grid_spec_f,
+            interpret=cfg.pallas_interpret,
+        )(jax.lax.dynamic_slice_in_dim(wtab, base * len(_RODS),
+                                       nb_c * len(_RODS)),
+          tiled_f,
+          jax.lax.dynamic_slice_in_dim(self_f, base * b, rows_c, axis=1))
+        acc_parts.append(a_c)
+    acc_rows = jnp.concatenate(acc_parts, axis=1)
     acc_s = acc_rows[:, :n].T                              # [N, 3]
     acc_s = acc_s + physics.central_gravity(cfg, pos_s)
     acc_s = acc_s + jnp.asarray(cfg.gravity, jnp.float32)

@@ -58,16 +58,19 @@ def test_block_windows_from_cells():
     counts = jnp.zeros((cfg.num_cells,), jnp.int32).at[cid[0]].add(8)
     cell_end = jnp.cumsum(counts).astype(jnp.int32)
     cell_start = cell_end - counts
-    ws, wc = _block_windows(cfg, cid, cell_start, cell_end,
-                            nblocks=1, block_rows=8, window=256, n=8,
-                            n_pad=1024)
-    ws, wc = np.asarray(ws), np.asarray(wc)
-    assert ws.shape == (1, 9) and wc.shape == (1, 9)
+    packed, clamped = _block_windows(cfg, cid, cell_start, cell_end,
+                                     nblocks=1, block_rows=8, window=256, n=8,
+                                     n_pad=1024)
+    packed = np.asarray(packed)
+    ws = packed & ~(LANE - 1)                # start in the high bits
+    wc = packed & (LANE - 1)                 # chunk count in the low 7 bits
+    assert packed.shape == (1, 9)
+    assert int(clamped) == 0
     assert wc[0, 4] == 1                     # center rod: the occupied cell
-    assert (ws % LANE == 0).all()
     # rods strictly before the occupied cell have empty windows -> skipped
     # (rods after it may still alias the same index range; masks handle that)
     assert wc[0, 0] == 0
+    assert (ws % LANE == 0).all()
 
 
 def test_honey_scene_stable():
