@@ -30,6 +30,10 @@ def compute_forces(cfg: SphConfig, state: ParticleState, backend: Backend = "cel
     if backend == "celllist":
         return celllist.compute_step_quantities(cfg, state)
     if backend == "pallas":
+        if cfg.pallas_layout == "sublane":
+            from . import pallas_step_t
+
+            return pallas_step_t.compute_step_quantities(cfg, state)
         from . import pallas_step
 
         return pallas_step.compute_step_quantities(cfg, state)
