@@ -174,13 +174,11 @@ def simulate(cfg: SphConfig, state: ParticleState, backend: Backend = "celllist"
     reference's per-step file writes (src/sph.cpp:176-178).
     """
     total = cfg.num_steps + 1  # ref loop runs stepCount <= totalSteps
-    run = jax.jit(partial(run_steps, cfg, backend=backend),
-                  static_argnames=("num_steps",))
     all_diags = []
     done = 0
     while done < total:
         n = min(steps_per_block, total - done)
-        state, diags = run(state, num_steps=n)
+        state, diags = drive_loop(cfg, state, n, backend=backend)
         if callback is not None:
             callback(done, state, diags)
         all_diags.append(diags)
