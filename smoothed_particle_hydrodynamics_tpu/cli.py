@@ -55,8 +55,9 @@ def cmd_run(args) -> int:
     import signal
 
     import jax
+    import jax.numpy as jnp
 
-    from .utils.diagnostics import DiagnosticsWriter, detect_blowup
+    from .utils.diagnostics import DiagnosticsWriter, detect_blowup, detect_truncation
     from .utils import io as ckpt_io
 
     overrides = _apply_overrides(args)
@@ -75,13 +76,27 @@ def cmd_run(args) -> int:
     from functools import partial
 
     if args.devices and args.devices > 1:
-        from .parallel import make_mesh
-        from .parallel.sharding import run_steps_sharded, shard_state
+        # the sharded path always runs the cell-list sweeps; honouring another
+        # backend silently would run something the user didn't ask for
+        if args.backend != "celllist":
+            raise SystemExit(
+                f"--devices {args.devices} uses the sharded cell-list step; "
+                f"--backend {args.backend} is not available multi-device")
+        from .parallel import make_mesh, make_sharded_step
+        from .parallel.sharding import shard_state
 
         mesh = make_mesh(args.devices)
         state = shard_state(mesh, state)
-        run = jax.jit(partial(run_steps_sharded, cfg, mesh),
-                      static_argnames=("num_steps",))
+        # host loop, like single-device: scan with stacked diagnostics ys
+        # de-optimizes large-N steps ~8x (docs/PERFORMANCE.md §4)
+        sharded_step = make_sharded_step(cfg, mesh)
+
+        def run(s, num_steps):
+            diags = []
+            for _ in range(num_steps):
+                s, d = sharded_step(s)
+                diags.append(d)
+            return s, jax.tree.map(lambda *xs: jnp.stack(xs), *diags)
     else:
         # host loop with donation: lax.scan de-optimizes the pallas step at
         # large N (docs/PERFORMANCE.md), host dispatch is negligible
@@ -112,6 +127,7 @@ def cmd_run(args) -> int:
             f"{k}={v:.2f}" for k, v in phase_ms.items()))
 
     frames = []
+    truncation_warned = False
     with DiagnosticsWriter(args.out) as writer:
         ckpt_io.write_run_metadata(args.out, cfg, {"scene": args.scene,
                                                    "backend": args.backend,
@@ -131,6 +147,11 @@ def cmd_run(args) -> int:
                 print(f"ABORT at step {done + nblock}: {why} (checkpoint saved)",
                       file=sys.stderr)
                 return 2
+            lossy, what = detect_truncation(diags)
+            if lossy and not truncation_warned:
+                truncation_warned = True
+                print(f"WARNING at step {done + nblock}: {what} — "
+                      "interactions are being dropped", file=sys.stderr)
             done += nblock
             if interrupted["flag"]:
                 p = ckpt_io.save_checkpoint(args.checkpoint_dir, done, cfg, state)

@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import SphConfig
-from ..state import ParticleState, StepDiagnostics
+from ..state import ParticleState, StepDiagnostics, make_step_diagnostics
 from ..ops import physics
 from ..ops.celllist import CellListAux
 from ..ops.integrate import kdk_integrate
@@ -83,14 +83,5 @@ def compat_step(cfg: SphConfig, state: ParticleState
     acc, rho, aux = compute_compat_quantities(cfg, state)
     state = state._replace(density=rho, neighbor_count=aux.neighbor_count)
     new_state, tally = kdk_integrate(cfg_compat, state, acc)
-    nc = aux.neighbor_count
-    diag = StepDiagnostics(
-        kinetic_energy=tally.kinetic,
-        potential_energy=tally.potential,
-        angular_momentum=tally.angular_momentum,
-        neighbor_mean=jnp.mean(nc.astype(jnp.float32)),
-        neighbor_max=jnp.max(nc),
-        neighbor_min=jnp.min(nc),
-        overflow_cells=aux.overflow_cells,
-    )
+    diag = make_step_diagnostics(tally, aux.neighbor_count, aux.overflow_cells)
     return new_state, diag

@@ -74,16 +74,23 @@ def energy_tally(cfg: SphConfig, pos: jnp.ndarray, vel: jnp.ndarray,
     rel = (pos - center) * _f32(cfg.sim_scale)
     dist = jnp.linalg.norm(rel, axis=-1)
     v2 = jnp.sum(vel * vel, axis=-1)
-    ok = v2 > 0.0  # the reference's NaN skip
     gm = _f32(cfg.grav_constant) * _f32(cfg.central_mass)
     soft = _f32(cfg.softening_eff)
-    ke = jnp.sum(jnp.where(ok, 0.5 * mass * v2, 0.0))
     if cfg.compat:
+        # The reference's NaN skip: the `dot > 0` guard excludes at-rest
+        # particles from BOTH tallies (src/sph.cpp:1001-1013, quirk).
+        ok = v2 > 0.0
+        ke = jnp.sum(jnp.where(ok, 0.5 * mass * v2, 0.0))
         # quirk 8: 1/(d+eps)^3 instead of 1/(d+eps)
         pe = -jnp.sum(jnp.where(ok, gm * mass / (dist + soft) ** 3, 0.0))
         ang = jnp.zeros((), jnp.float32)  # reference always logs 0
     else:
-        pe = -jnp.sum(jnp.where(ok, gm * mass / (dist + soft), 0.0))
+        # Default mode: at-rest particles count (a dam break at rest has
+        # nonzero PE); only non-finite velocities are masked from KE, and PE
+        # is not velocity-gated at all, so NaN positions surface as NaN PE
+        # for detect_blowup instead of being silently zeroed.
+        ke = jnp.sum(jnp.where(jnp.isfinite(v2), 0.5 * mass * v2, 0.0))
+        pe = -jnp.sum(gm * mass / (dist + soft))
         l_vec = jnp.sum(mass[:, None] * jnp.cross(rel, vel), axis=0)
         ang = jnp.linalg.norm(l_vec)
     return EnergyTally(ke, pe, ang)
@@ -95,26 +102,30 @@ def reflect_boundary(cfg: SphConfig, old_pos: jnp.ndarray, new_pos: jnp.ndarray,
 
     Rebuilt from the reference's dead reflection path
     (/root/reference/src/sph.cpp:1025-1148): on crossing a wall, the particle
-    is placed at the intersection point plus the reflected velocity times the
-    damped remaining time; the wall-normal velocity component flips sign.
+    is placed at the intersection point plus the reflected, damped remainder
+    of its displacement; the wall-normal velocity component flips sign.
     This branch-free version handles all six walls at once.
+
+    The geometry is computed from the actual drift displacement
+    ``new_pos - old_pos`` (dimensionless step fractions), so it is exact for
+    any ``sim_scale`` and independent of which velocity produced the drift.
     """
     box = jnp.asarray(cfg.box_max, jnp.float32)
-    dt = _f32(cfg.dt)
 
     below = new_pos < 0.0
     above = new_pos > box
     crossed = below | above
 
-    safe_vel = jnp.where(new_vel == 0.0, 1e-30, new_vel)
-    t_low = -old_pos / safe_vel
-    t_high = (box - old_pos) / safe_vel
-    t_hit = jnp.where(below, t_low, jnp.where(above, t_high, 0.0))
+    disp = new_pos - old_pos
+    safe_disp = jnp.where(disp == 0.0, 1e-30, disp)
+    f_low = -old_pos / safe_disp                 # fraction of the step at impact
+    f_high = (box - old_pos) / safe_disp
+    f_hit = jnp.where(below, f_low, jnp.where(above, f_high, 0.0))
 
     reflected_vel = jnp.where(crossed, -new_vel, new_vel)
-    intersection = old_pos + new_vel * t_hit
-    remaining = jnp.maximum(dt - t_hit, 0.0)
-    bounced = intersection + reflected_vel * (remaining * _f32(cfg.damping))
+    intersection = old_pos + disp * f_hit
+    remaining = jnp.maximum(1.0 - f_hit, 0.0)
+    bounced = intersection - disp * (remaining * _f32(cfg.damping))
 
     out_pos = jnp.where(crossed, bounced, new_pos)
     # Numerical safety: keep strictly inside so binning never clamps.

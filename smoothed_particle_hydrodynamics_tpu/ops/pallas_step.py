@@ -60,6 +60,19 @@ def _round_up(x: int, m: int) -> int:
 _RODS = [(dy, dz) for dy in (-1, 0, 1) for dz in (-1, 0, 1)]
 
 
+def _check_grid_nondegenerate(cfg: SphConfig) -> None:
+    """The in-kernel rod test ``|cid_j - cid_i - delta| <= 1`` assumes rod
+    deltas (multiples of grid_nx) are >= 3 apart and that linear-id-wrapped
+    cells are > h away; grids narrower than 3 cells in any axis make rod
+    acceptance windows overlap and wraparound pairs survive the d^2 < h^2
+    test (double counting)."""
+    if min(cfg.grid_nx, cfg.grid_ny, cfg.grid_nz) < 3:
+        raise ValueError(
+            "pallas backends require grid dims >= 3 in every axis "
+            f"(got {cfg.grid_nx}x{cfg.grid_ny}x{cfg.grid_nz}); "
+            "use the celllist backend for degenerate grids")
+
+
 # ---------------------------------------------------------------------------
 # Host-side plumbing
 # ---------------------------------------------------------------------------
@@ -343,6 +356,7 @@ def compute_step_quantities(cfg: SphConfig, state: ParticleState
     if cfg.num_cells > 1 << 24:
         raise ValueError("pallas backend stores cell ids in f32 "
                          "(exact up to 2^24 cells); shrink the grid")
+    _check_grid_nondegenerate(cfg)
     b, s = cfg.pallas_block_rows, cfg.pallas_window
     if s % LANE:
         raise ValueError(f"pallas_window must be a multiple of {LANE}")

@@ -39,7 +39,8 @@ from ..config import SphConfig
 from ..state import ParticleState
 from . import celllist, physics
 from .grid import build_grid, unsort
-from .pallas_step import _RODS, _rod_deltas, _round_up
+from .pallas_step import (_RODS, _check_grid_nondegenerate, _rod_deltas,
+                          _round_up)
 
 _f32 = jnp.float32
 
@@ -261,6 +262,7 @@ def compute_step_quantities(cfg: SphConfig, state: ParticleState
         raise ValueError("pallas backend supports default mode only")
     if cfg.num_cells > 1 << 24:
         raise ValueError("cell ids stored in f32 (exact up to 2^24 cells)")
+    _check_grid_nondegenerate(cfg)
     s = cfg.pallas_window_t
     if s % SUB:
         raise ValueError(f"pallas_window_t must be a multiple of {SUB}")

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import SphConfig
-from ..state import ParticleState, StepDiagnostics
+from ..state import ParticleState, StepDiagnostics, make_step_diagnostics
 from . import celllist, pairwise
 from .integrate import kdk_integrate
 
@@ -66,16 +66,8 @@ def step(cfg: SphConfig, state: ParticleState, backend: Backend = "celllist"
         new_state, tally = _kdk_full(cfg, state, acc, backend)
     else:
         new_state, tally = kdk_integrate(cfg, state, acc)
-    nc = aux.neighbor_count
-    diag = StepDiagnostics(
-        kinetic_energy=tally.kinetic,
-        potential_energy=tally.potential,
-        angular_momentum=tally.angular_momentum,
-        neighbor_mean=jnp.mean(nc.astype(jnp.float32)),
-        neighbor_max=jnp.max(nc),
-        neighbor_min=jnp.min(nc),
-        overflow_cells=aux.overflow_cells,
-    )
+    diag = make_step_diagnostics(tally, aux.neighbor_count, aux.overflow_cells,
+                                 truncated_ranges=aux.truncated_ranges)
     return new_state, diag
 
 

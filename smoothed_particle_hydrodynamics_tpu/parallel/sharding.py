@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import SphConfig
-from ..state import ParticleState, StepDiagnostics
+from ..state import ParticleState, StepDiagnostics, make_step_diagnostics
 from ..ops import celllist
 from ..ops.grid import unsort
 from ..ops.integrate import kdk_integrate
@@ -102,15 +102,8 @@ def step_sharded(cfg: SphConfig, mesh: Mesh, state: ParticleState,
     new_state = jax.tree.map(
         lambda a: jax.lax.with_sharding_constraint(a, sharded), new_state)
 
-    diag = StepDiagnostics(
-        kinetic_energy=tally.kinetic,
-        potential_energy=tally.potential,
-        angular_momentum=tally.angular_momentum,
-        neighbor_mean=jnp.mean(ncount.astype(jnp.float32)),
-        neighbor_max=jnp.max(ncount),
-        neighbor_min=jnp.min(ncount),
-        overflow_cells=g.overflow_cells,
-    )
+    diag = make_step_diagnostics(tally, ncount, g.overflow_cells,
+                                 truncated_ranges=jnp.sum(truncated).astype(jnp.int32))
     return new_state, diag
 
 
@@ -192,15 +185,18 @@ def step_sharded_halo(cfg: SphConfig, mesh: Mesh, state: ParticleState,
         acc_l = celllist.force_rows(
             cfg, pos_e, vel_e, mass_e, rho_e, lo, hi, own_l,
             pos_i, vel_i, rho_l, chunk=local_chunk)
-        dropped = jax.lax.psum(jnp.sum(trunc) + cut, axis)
-        return rho_l, nc_l, acc_l, dropped
+        # two distinct failure signals: static-capacity truncation vs candidates
+        # cut because they fell outside the halo band (halo too small)
+        truncated = jax.lax.psum(jnp.sum(trunc).astype(jnp.int32), axis)
+        halo_cut = jax.lax.psum(cut, axis)
+        return rho_l, nc_l, acc_l, truncated, halo_cut
 
     sweeps = jax.shard_map(
         halo_sweeps, mesh=mesh,
         in_specs=(P("data"), P("data"), P("data"), P("data")),
-        out_specs=(P("data"), P("data"), P("data"), P()),
+        out_specs=(P("data"), P("data"), P("data"), P(), P()),
     )
-    rho_s, ncount_s, acc_s, truncated = sweeps(
+    rho_s, ncount_s, acc_s, truncated, halo_cut = sweeps(
         fields, p.rng_start, p.rng_end, own_idx)
 
     g = p.grid
@@ -214,15 +210,9 @@ def step_sharded_halo(cfg: SphConfig, mesh: Mesh, state: ParticleState,
     new_state = jax.tree.map(
         lambda a: jax.lax.with_sharding_constraint(a, sharded), new_state)
 
-    diag = StepDiagnostics(
-        kinetic_energy=tally.kinetic,
-        potential_energy=tally.potential,
-        angular_momentum=tally.angular_momentum,
-        neighbor_mean=jnp.mean(ncount.astype(jnp.float32)),
-        neighbor_max=jnp.max(ncount),
-        neighbor_min=jnp.min(ncount),
-        overflow_cells=g.overflow_cells + truncated,
-    )
+    diag = make_step_diagnostics(tally, ncount, g.overflow_cells,
+                                 truncated_ranges=truncated,
+                                 halo_dropped=halo_cut)
     return new_state, diag
 
 

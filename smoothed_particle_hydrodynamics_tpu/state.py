@@ -88,3 +88,30 @@ class StepDiagnostics(NamedTuple):
     neighbor_max: jax.Array       # scalar i32
     neighbor_min: jax.Array       # scalar i32
     overflow_cells: jax.Array     # scalar i32: cells whose occupancy exceeded capacity
+    truncated_ranges: jax.Array   # scalar i32: candidate windows cut by static capacity
+    halo_dropped: jax.Array       # scalar i32: candidates beyond the halo band (sharded halo path)
+
+
+def make_step_diagnostics(tally, neighbor_count: jax.Array,
+                          overflow_cells: jax.Array,
+                          truncated_ranges: jax.Array | None = None,
+                          halo_dropped: jax.Array | None = None) -> StepDiagnostics:
+    """Assemble the per-step diagnostics record from an energy tally + counters.
+
+    Silent-physics counters default to 0 for paths that cannot truncate; every
+    compute path that CAN drop interactions must pass its real counter so dense
+    scenes surface the loss in diagnostics.jsonl instead of hiding it.
+    """
+    nc = neighbor_count
+    zero = jnp.zeros((), jnp.int32)
+    return StepDiagnostics(
+        kinetic_energy=tally.kinetic,
+        potential_energy=tally.potential,
+        angular_momentum=tally.angular_momentum,
+        neighbor_mean=jnp.mean(nc.astype(jnp.float32)),
+        neighbor_max=jnp.max(nc),
+        neighbor_min=jnp.min(nc),
+        overflow_cells=overflow_cells,
+        truncated_ranges=zero if truncated_ranges is None else truncated_ranges,
+        halo_dropped=zero if halo_dropped is None else halo_dropped,
+    )

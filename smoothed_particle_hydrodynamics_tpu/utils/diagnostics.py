@@ -83,10 +83,14 @@ class DiagnosticsWriter:
         nmax = np.asarray(diags.neighbor_max)
         nmin = np.asarray(diags.neighbor_min)
         overflow = np.asarray(diags.overflow_cells)
+        truncated = np.asarray(diags.truncated_ranges)
+        halo_dropped = np.asarray(diags.halo_dropped)
         n = ke.shape[0] if ke.ndim else 1
         ke, pe, am = np.atleast_1d(ke), np.atleast_1d(pe), np.atleast_1d(am)
         nmean, nmax, nmin = np.atleast_1d(nmean), np.atleast_1d(nmax), np.atleast_1d(nmin)
         overflow = np.atleast_1d(overflow)
+        truncated = np.atleast_1d(truncated)
+        halo_dropped = np.atleast_1d(halo_dropped)
         ms = phase_ms or {}
         step_ms = ms.get("step", 0.0)
 
@@ -113,6 +117,8 @@ class DiagnosticsWriter:
                     "neighbor_max": int(nmax[i]),
                     "neighbor_min": int(nmin[i]),
                     "overflow_cells": int(overflow[i]),
+                    "truncated_ranges": int(truncated[i]),
+                    "halo_dropped": int(halo_dropped[i]),
                     "step_ms": step_ms,
                 }) + "\n")
 
@@ -161,3 +167,23 @@ def detect_blowup(diags: StepDiagnostics) -> tuple[bool, str]:
     if ke.size and np.abs(ke).max() > 1e30:
         return True, "kinetic energy blow-up"
     return False, ""
+
+
+def detect_truncation(diags: StepDiagnostics) -> tuple[bool, str]:
+    """Silent-physics warning: interactions dropped by static capacities.
+
+    Nonzero ``truncated_ranges`` means candidate windows overflowed
+    ``cfg.range_slice`` (or a kernel's chunk clamp); nonzero ``halo_dropped``
+    means the sharded halo band was too narrow.  Both lose pair interactions —
+    the run keeps going, but the caller should warn (the cell-list contract is
+    'truncation is counted, not silently dropped')."""
+    trunc = int(np.asarray(diags.truncated_ranges).sum())
+    halo = int(np.asarray(diags.halo_dropped).sum())
+    msgs = []
+    if trunc:
+        msgs.append(f"{trunc} candidate ranges truncated by capacity "
+                    "(raise range_slice / kernel window)")
+    if halo:
+        msgs.append(f"{halo} candidates dropped outside the halo band "
+                    "(raise halo_rows)")
+    return bool(msgs), "; ".join(msgs)

@@ -25,7 +25,7 @@ def test_halo_step_matches_single_device():
     halo = cfg.num_particles // 8
     s8, d8 = jax.jit(lambda s: step_sharded_halo(cfg, mesh, s, halo_rows=halo))(
         shard_state(mesh, state))
-    assert int(d8.overflow_cells) == 0, "halo too small for this scene"
+    assert int(d8.halo_dropped) == 0, "halo too small for this scene"
     np.testing.assert_allclose(np.asarray(s8.position), np.asarray(s1.position),
                                rtol=1e-6, atol=1e-7)
     np.testing.assert_allclose(np.asarray(s8.density), np.asarray(s1.density),
@@ -40,7 +40,7 @@ def test_halo_overflow_detected():
     mesh = make_mesh(8)
     s8, d8 = jax.jit(lambda s: step_sharded_halo(cfg, mesh, s, halo_rows=8))(
         shard_state(mesh, state))
-    assert int(d8.overflow_cells) > 0
+    assert int(d8.halo_dropped) > 0
 
 
 def test_halo_rows_validation():

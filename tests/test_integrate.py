@@ -102,3 +102,44 @@ def test_dam_break_stays_in_box():
     box = np.asarray(cfg.box_max)
     assert (pos >= 0).all() and (pos <= box).all()
     assert np.isfinite(np.asarray(diags.kinetic_energy)).all()
+
+
+def test_reflect_boundary_sim_scale_invariant():
+    """Crossing geometry must be exact for sim_scale != 1 (displacement form)."""
+    cfg1 = SphConfig(boundary="reflect", damping=0.5, sim_scale=1.0)
+    cfg2 = SphConfig(boundary="reflect", damping=0.5, sim_scale=4.0)
+    old = jnp.asarray([[0.05, 3.0, 3.0]])
+    new = jnp.asarray([[-0.05, 3.0, 3.0]])
+    vel1 = jnp.asarray([[-10.0, 0.0, 0.0]])
+    vel2 = vel1 * 4.0  # same displacement: drift uses vel * dt / sim_scale
+    p1, v1 = reflect_boundary(cfg1, old, new, vel1)
+    p2, v2 = reflect_boundary(cfg2, old, new, vel2)
+    # same displacement, same walls -> identical bounce position
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), rtol=1e-6)
+    assert float(v1[0, 0]) == 10.0 and float(v2[0, 0]) == 40.0
+    # bounce geometry: impact at x=0 half-way, damped reflected remainder
+    np.testing.assert_allclose(float(p1[0, 0]), 0.025, rtol=1e-5)
+
+
+def test_energy_tally_at_rest_has_potential():
+    """Default mode must count at-rest particles in PE (dam-break step 0);
+    compat keeps the reference's dot>0 exclusion (src/sph.cpp:1001-1013)."""
+    cfg = SphConfig()
+    pos = jnp.asarray([[4.2, 3.2, 3.2]])
+    vel = jnp.zeros((1, 3))
+    mass = jnp.asarray([2.0])
+    t_default = energy_tally(cfg, pos, vel, mass)
+    t_compat = energy_tally(cfg.replace(compat=True), pos, vel, mass)
+    assert float(t_default.potential) < 0.0
+    assert float(t_compat.potential) == 0.0
+    assert float(t_default.kinetic) == 0.0
+
+
+def test_dam_break_step0_nonzero_pe():
+    from smoothed_particle_hydrodynamics_tpu.models import make_scene
+    from smoothed_particle_hydrodynamics_tpu.ops.step import step
+
+    cfg, state = make_scene("dam_break", num_particles=2048,
+                            central_mass=1e4)  # need a central mass for PE
+    _, diag = jax.jit(lambda s: step(cfg, s))(state)
+    assert float(diag.potential_energy) < 0.0

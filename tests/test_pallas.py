@@ -53,3 +53,18 @@ def test_pallas_window_must_be_lane_aligned():
     cfg, state = make_case(pallas_window=200)
     with pytest.raises(ValueError, match="multiple"):
         pallas_step.compute_step_quantities(cfg, state)
+
+
+def test_pallas_rejects_degenerate_grid():
+    """Rod-delta masking is only wrap-safe for grids >= 3 cells per axis."""
+    from smoothed_particle_hydrodynamics_tpu.config import SphConfig
+    from smoothed_particle_hydrodynamics_tpu.ops import pallas_step, pallas_step_t
+    from smoothed_particle_hydrodynamics_tpu.state import ParticleState
+
+    cfg = SphConfig(num_particles=64, grid_nx=2, grid_ny=8, grid_nz=8,
+                    pallas_interpret=True)
+    state = ParticleState.zeros(64)
+    with pytest.raises(ValueError, match="grid dims >= 3"):
+        pallas_step.compute_step_quantities(cfg, state)
+    with pytest.raises(ValueError, match="grid dims >= 3"):
+        pallas_step_t.compute_step_quantities(cfg, state)

@@ -26,6 +26,8 @@ def _diags(n=3):
         neighbor_max=jnp.full((n,), 9, jnp.int32),
         neighbor_min=jnp.zeros((n,), jnp.int32),
         overflow_cells=jnp.zeros((n,), jnp.int32),
+        truncated_ranges=jnp.zeros((n,), jnp.int32),
+        halo_dropped=jnp.zeros((n,), jnp.int32),
     )
 
 
