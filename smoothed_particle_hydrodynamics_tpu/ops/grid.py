@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from ..config import SphConfig
@@ -79,6 +80,40 @@ def build_grid(cfg: SphConfig, pos: jnp.ndarray) -> Grid:
 
 
 def unsort(order: jnp.ndarray, sorted_values: jnp.ndarray) -> jnp.ndarray:
-    """Scatter sorted-order values back to original particle order."""
+    """Scatter sorted-order values back to original particle order.
+
+    NB: XLA scatters are slow on TPU (a [1M,3] scatter measured ~45 ms fused,
+    ~90 ms isolated); hot paths should build the inverse permutation once via
+    ``inverse_order`` and gather with ``unsort_stacked`` instead."""
     out_shape = (sorted_values.shape[0],) + sorted_values.shape[1:]
     return jnp.zeros(out_shape, sorted_values.dtype).at[order].set(sorted_values)
+
+
+def inverse_order(order: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of a permutation via one pair sort (no scatter)."""
+    n = order.shape[0]
+    return jax.lax.sort(
+        (order, jnp.arange(n, dtype=jnp.int32)), num_keys=1)[1]
+
+
+def unsort_stacked(inv_order: jnp.ndarray, columns: list[jnp.ndarray]
+                   ) -> list[jnp.ndarray]:
+    """Un-permute several [N] / [N,k] arrays with ONE stacked row gather.
+
+    f32/i32 columns are gathered together as f32 (exact for int32 magnitudes
+    below 2^24, which holds for neighbor counts) — wide row gathers are ~10x
+    cheaper than per-array 1-D gathers on TPU."""
+    parts = []
+    for c in columns:
+        c2 = c[:, None] if c.ndim == 1 else c
+        parts.append(c2.astype(jnp.float32))
+    stacked = jnp.concatenate(parts, axis=1)[inv_order]
+    out = []
+    ofs = 0
+    for c in columns:
+        k = 1 if c.ndim == 1 else c.shape[1]
+        sl = stacked[:, ofs:ofs + k]
+        sl = sl[:, 0] if c.ndim == 1 else sl
+        out.append(sl.astype(c.dtype))
+        ofs += k
+    return out

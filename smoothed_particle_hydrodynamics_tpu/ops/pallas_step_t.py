@@ -1,34 +1,44 @@
-"""Transposed-tile Pallas sweeps: candidates along SUBLANES.
+"""Transposed-tile Pallas sweeps: candidates on SUBLANES, MXU reductions.
 
 The lane-major kernel (`pallas_step.py`) pays a 128-lane alignment floor per
-rod window, so its per-particle lane work is R x (B + L + 128).  This variant
-puts CANDIDATES on the sublane axis and PARTICLES on the lane axis:
+rod window: per-particle lane work is R x (B + L + 128-align) ~ 9 x 512.
+This variant puts CANDIDATES on the sublane axis (8-granular windows) and
+PARTICLES on the lane axis, cutting the swept volume ~2.7x at 1M (9 x 192).
 
-    fields HBM [n_pad, F] --(window DMA [S_sub, F], 8-aligned)--> VMEM
-    VPU: [S_sub, B=128] tiles, reduced over sublanes
+Layout: candidate fields are stored as 128-lane-padded ROWS — one [n_pad, 128]
+f32 array whose first `naug` lanes hold the (pre-derived) per-candidate
+values.  A rod window is then ONE [s_t, 128] HBM->VMEM slab copy with a
+dynamic 8-aligned sublane start — legal for Mosaic because the lane dimension
+is never sliced.  This trades ~2x DMA bytes (hidden behind compute) for zero
+in-kernel transposes; the earlier granule-DMA + MXU-identity-transpose
+variant measured 1.3x SLOWER than the lane kernel because the per-rod-chunk
+transpose matmuls dominated.
 
-so the alignment floor drops 128 -> 8 and per-particle work becomes
-R x (B + L + 8).  A probe at 1M-equivalent volume measured 23.0 -> 12.9 ms
-(docs/PERFORMANCE.md, "Transposed tiles").
+The MXU does the force reductions: the pressure and viscosity sums over
+candidates are [4,s_t] x [s_t,128] `dot_general`s (sum_c u_c * W_cs),
+replacing 18 full-tile VPU ops with 2 MXU passes.  Their coordinates are
+BLOCK-RELATIVE (a per-block reference point rides in via f32 scalar prefetch)
+to curb f32 cancellation in xi*sum(center) - sum(xj*center); pair distances
+d^2 stay in exact world-coordinate diff form, bit-identical to the XLA
+backends (an |xi|^2 - 2 xi.xj MXU expansion was measured at ~4e-4 relative
+error in sparse blocks and rejected).
 
-Masking, windows, deep pipelining and exact multi-chunk tails follow
-pallas_step.py; the SMEM tables are two 1-D prefetch operands because 8-bit
-alignment leaves too few bits to pack the chunk count.
+Windows, double-buffered pipelining, rod masking by cell-id delta, and exact
+multi-chunk tails follow pallas_step.py.  Multi-chunk tails reuse slot 2 of
+the pipeline scratch: a separately-allocated scratch buffer + scalar DMA
+semaphore faults Mosaic inside ``fori_loop``.
 
 Enable with ``SphConfig(pallas_layout="sublane")``.
 
-STATUS: EXPERIMENTAL — blocked on hardware Mosaic: sliced HBM->VMEM DMA
-requires the slice's lane dimension to be 128-aligned ("Slice shape along
-dimension 1 must be aligned to tiling (128), but is 5"), so a narrow
-[S_sub, F] window cannot be DMA'd directly.  Works in interpreter mode (the
-CPU test suite covers it); the hardware path needs either F padded to 128
-(16x DMA waste — rejected) or an in-VMEM tile transpose after a lane-tiled
-DMA (round-2 work; the 1.8x compute win is probe-verified).
+Reference counterpart: the SSE inner loop + density/force loops at
+/root/reference/src/sph.cpp:598-683,721-766,778-934 (default-mode physics
+only; order-dependent compat quirks live in ``..compat``).
 """
 
 from __future__ import annotations
 
 from functools import partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -38,18 +48,28 @@ from jax.experimental.pallas import tpu as pltpu
 from ..config import SphConfig
 from ..state import ParticleState
 from . import celllist, physics
-from .grid import build_grid, unsort
+from .grid import cell_coords, inverse_order, linear_cell_id, unsort_stacked
 from .pallas_step import (_RODS, _check_grid_nondegenerate, _rod_deltas,
                           _round_up)
 
 _f32 = jnp.float32
+_HI = jax.lax.Precision.HIGHEST
+_MXU_REDUCE = True   # A/B: True = dot_general reduces, False = VPU sublane sums
 
-SUB = 8      # f32 sublane granularity: window offsets align to this
+SUB = 8      # f32 sublane granularity: window starts align to this
 BLANE = 128  # particles per block = one lane width
+LANE = 128   # stored row width (Mosaic cannot DMA lane-sliced windows)
 
 
-def _block_windows_t(cfg: SphConfig, cid_sorted, cell_start, cell_end,
-                     nblocks: int, window: int, n: int, n_pad: int):
+def _block_windows_t(cfg: SphConfig, cid_sorted, nblocks: int,
+                     window: int, n: int, n_pad: int):
+    """Per (block, rod): tight 8-aligned window start + s_t-chunk count.
+
+    Cell offsets come from ``searchsorted`` on the sorted cell ids for just
+    the ~9*nblocks cells the windows touch — building full [num_cells]
+    start/end tables (bincount + cumsum over a 2M-cell grid) measured 10+ ms
+    at 1M particles and is only needed by the XLA cell-list backend.
+    """
     deltas = jnp.asarray([(dz * cfg.grid_ny + dy) * cfg.grid_nx
                           for dy, dz in _RODS], jnp.int32)
     pad = nblocks * BLANE - n
@@ -59,37 +79,49 @@ def _block_windows_t(cfg: SphConfig, cid_sorted, cell_start, cell_end,
                        0, cfg.num_cells - 1)
     hi_cell = jnp.clip(blocks[:, -1][:, None] + deltas[None, :] + 1,
                        0, cfg.num_cells - 1)
-    w_start = cell_start[lo_cell] & ~(SUB - 1)
-    w_start = jnp.clip(w_start, 0, max(n_pad - window, 0))
-    w_len = jnp.maximum(cell_end[hi_cell] - w_start, 0)
-    max_chunks = jnp.maximum((n_pad - window) // window + 1, 1)
-    w_chunks = jnp.where(w_len > 0,
-                         jnp.clip(-(-w_len // window), 1, max_chunks), 0)
+    w_start = jnp.searchsorted(cid_sorted, lo_cell, side="left").astype(jnp.int32)
+    w_end = jnp.searchsorted(cid_sorted, hi_cell, side="right").astype(jnp.int32)
+    w_start = jnp.clip(w_start & ~(SUB - 1), 0, max(n_pad - window, 0))
+    w_len = jnp.maximum(w_end - w_start, 0)
+    w_chunks = jnp.where(w_len > 0, -(-w_len // window), 0)
     return w_start.astype(jnp.int32), w_chunks.astype(jnp.int32)
 
 
-def _sweep_body_t(cfg, window, block_base, ws_ref, wc_ref, fields_hbm,
-                  cand, sem, init_carry, pair_compute):
+def _sweep_body_t(cfg, s_t, block_base,
+                  ws_ref, wc_ref, ref_ref,
+                  fields_hbm, self_ref,
+                  cand, sem,
+                  init_carry, pair_compute):
+    """Shared sweep machinery: pipelined slab DMA + tight-window compute.
+
+    ``pair_compute(carry, w [s_t, 128], rod, jg [s_t,1], own) -> carry``
+    consumes a window slab whose first lanes are the candidate field rows.
+    """
     i = pl.program_id(0)
     nblocks = pl.num_programs(0)
-    s = window
     nranges = len(_RODS)
-    jsub = jax.lax.broadcasted_iota(jnp.int32, (s, 1), 0)
+    iota_sub = jax.lax.broadcasted_iota(jnp.int32, (s_t, 1), 0)
     own = ((block_base + i) * BLANE
            + jax.lax.broadcasted_iota(jnp.int32, (1, BLANE), 1))
 
-    def dma(block, r, chunk, slot, chunk_slot=None):
-        r0 = pl.multiple_of(ws_ref[block * nranges + r], SUB) + chunk * s
-        dst = cand.at[slot, r] if chunk_slot is None else cand.at[chunk_slot, 0]
-        sm = sem.at[slot, r] if chunk_slot is None else sem.at[chunk_slot, 0]
+    def dma(block, r, slot):
+        row0 = pl.multiple_of(ws_ref[block * nranges + r], SUB)
         return pltpu.make_async_copy(
-            fields_hbm.at[pl.ds(r0, s), :], dst, sm)
+            fields_hbm.at[pl.ds(row0, s_t), :], cand.at[slot, r],
+            sem.at[slot, r])
+
+    def tail_dma(row_start):
+        # slot 2 rod 0 of the shared scratch: a separately-allocated scratch
+        # buffer + scalar DMA semaphore faults Mosaic inside fori_loop
+        return pltpu.make_async_copy(
+            fields_hbm.at[pl.ds(row_start, s_t), :], cand.at[2, 0],
+            sem.at[2, 0])
 
     def start_block(block, slot):
         for r in range(nranges):
             @pl.when(wc_ref[block * nranges + r] > 0)
             def _():
-                dma(block, r, 0, slot).start()
+                dma(block, r, slot).start()
 
     @pl.when(i == 0)
     def _():
@@ -99,76 +131,85 @@ def _sweep_body_t(cfg, window, block_base, ws_ref, wc_ref, fields_hbm,
     def _():
         start_block(i + 1, (i + 1) % 2)
 
-    def masked(carry, r, chunk, data):
-        jg = ws_ref[i * nranges + r] + chunk * s + jsub        # [S,1]
-        not_self = jg != own                                   # [S,B]
-        return pair_compute(carry, data, r, not_self)
-
     slot = i % 2
     carry = init_carry
     for r in range(nranges):
         def process0(c, r=r):
-            dma(i, r, 0, slot).wait()
-            return masked(c, r, 0, cand[slot, r])
+            dma(i, r, slot).wait()
+            jg = ws_ref[i * nranges + r] + iota_sub
+            return pair_compute(c, cand[slot, r], r, jg, own)
 
         carry = jax.lax.cond(wc_ref[i * nranges + r] > 0,
                              process0, lambda c: c, carry)
 
+        # Rare long windows: exact multi-chunk tail, synchronous DMA.
         def chunk_body(c, carry2, r=r):
-            d = dma(i, r, c, slot, chunk_slot=2)
+            row_start = ws_ref[i * nranges + r] + c * s_t
+            d = tail_dma(row_start)
             d.start()
             d.wait()
-            return masked(carry2, r, c, cand[2, 0])
+            jg = row_start + iota_sub
+            return pair_compute(carry2, cand[2, 0], r, jg, own)
 
         carry = jax.lax.fori_loop(1, wc_ref[i * nranges + r], chunk_body, carry)
     return carry
 
 
-def _density_kernel_t(cfg: SphConfig, window: int, block_base: int,
-                      ws_ref, wc_ref, fields_hbm, self_ref,
+# ---------------------------------------------------------------------------
+# Density: candidate row lanes 0:x 1:y 2:z 3:cid 4:m (world coordinates;
+# d^2 in exact diff form, bit-identical to the XLA backends)
+# ---------------------------------------------------------------------------
+
+def _density_kernel_t(cfg: SphConfig, s_t: int, block_base: int,
+                      ws_ref, wc_ref, ref_ref, fields_hbm, self_ref,
                       rho_ref, ncount_ref, cand, sem):
-    s = window
     h2 = _f32(cfg.h2)
     deltas = _rod_deltas(cfg)
-    xi = self_ref[0, :].reshape(1, BLANE)
-    yi = self_ref[1, :].reshape(1, BLANE)
-    zi = self_ref[2, :].reshape(1, BLANE)
-    cid_i = self_ref[4, :].reshape(1, BLANE)
+    xi = self_ref[0:1, :]
+    yi = self_ref[1:2, :]
+    zi = self_ref[2:3, :]
+    cid_i = self_ref[4:5, :]
 
-    def pair_compute(carry, cand_blk, r, not_self):
+    def pair_compute(carry, w, r, jg, own):
         rho, ncount = carry
-        xj = cand_blk[:, 0].reshape(s, 1)
-        yj = cand_blk[:, 1].reshape(s, 1)
-        zj = cand_blk[:, 2].reshape(s, 1)
-        mj = cand_blk[:, 3].reshape(s, 1)
-        cid_j = cand_blk[:, 4].reshape(s, 1)
-        dx = xi - xj
-        dy = yi - yj
-        dz = zi - zj
-        d2 = dx * dx + dy * dy + dz * dz                       # [S,B]
-        rod_ok = jnp.abs((cid_j - cid_i) - _f32(deltas[r])) <= 1.0
-        mask = rod_ok & not_self & (d2 < h2)
+        dx = w[:, 0:1] - xi                                # [s_t, 128]
+        dy = w[:, 1:2] - yi
+        dz = w[:, 2:3] - zi
+        d2 = dx * dx + dy * dy + dz * dz                   # unscaled
+        dc = w[:, 3:4] - cid_i
+        rod_ok = jnp.abs(dc - _f32(deltas[r])) <= 1.0
+        mask = rod_ok & (jg != own) & (d2 < h2)
         t = _f32(cfg.h_scaled2) - d2 * _f32(cfg.sim_scale * cfg.sim_scale)
-        w = _f32(cfg.poly6_norm) * t * t * t
-        rho = rho + jnp.sum(jnp.where(mask, mj * w, 0.0), axis=0, keepdims=True)
+        w3 = _f32(cfg.poly6_norm) * t * t * t
+        rho = rho + jnp.sum(jnp.where(mask, w[:, 4:5] * w3, 0.0),
+                            axis=0, keepdims=True)
         ncount = ncount + jnp.sum(mask.astype(jnp.int32), axis=0, keepdims=True)
         return rho, ncount
 
     init = (jnp.zeros((1, BLANE), jnp.float32), jnp.zeros((1, BLANE), jnp.int32))
-    rho, ncount = _sweep_body_t(cfg, window, block_base, ws_ref, wc_ref,
-                                fields_hbm, cand, sem, init, pair_compute)
+    rho, ncount = _sweep_body_t(
+        cfg, s_t, block_base, ws_ref, wc_ref, ref_ref,
+        fields_hbm, self_ref, cand, sem, init, pair_compute)
+
     if cfg.include_self_density:
-        m_i = self_ref[3, :].reshape(1, BLANE)
+        m_i = self_ref[3:4, :]
         h2s = _f32(cfg.h_scaled2)
         rho = rho + m_i * _f32(cfg.poly6_norm) * h2s * h2s * h2s
     rho_ref[0, :] = rho.reshape(BLANE)
     ncount_ref[0, :] = ncount.reshape(BLANE)
 
 
-def _force_kernel_t(cfg: SphConfig, window: int, block_base: int,
-                    ws_ref, wc_ref, fields_hbm, self_ref,
+# ---------------------------------------------------------------------------
+# Force: candidate row lanes
+#   0:x 1:y 2:z 3:ones                      -> pressure reduce matrix U
+#   4:rimj*vx 5:rimj*vy 6:rimj*vz 7:rimj    -> viscosity reduce matrix V
+#   8:cid 9:mj 10:mj*pwj
+# U's coordinates are shifted by the per-block reference point in-kernel.
+# ---------------------------------------------------------------------------
+
+def _force_kernel_t(cfg: SphConfig, s_t: int, block_base: int,
+                    ws_ref, wc_ref, ref_ref, fields_hbm, self_ref,
                     acc_ref, cand, sem):
-    s = window
     h2 = _f32(cfg.h2)
     h = _f32(cfg.h_scaled)
     scale = _f32(cfg.sim_scale)
@@ -177,60 +218,78 @@ def _force_kernel_t(cfg: SphConfig, window: int, block_base: int,
     rho0 = _f32(cfg.rho0)
     deltas = _rod_deltas(cfg)
 
-    xi = self_ref[0, :].reshape(1, BLANE)
-    yi = self_ref[1, :].reshape(1, BLANE)
-    zi = self_ref[2, :].reshape(1, BLANE)
-    vxi = self_ref[3, :].reshape(1, BLANE)
-    vyi = self_ref[4, :].reshape(1, BLANE)
-    vzi = self_ref[5, :].reshape(1, BLANE)
-    rhoi = self_ref[7, :].reshape(1, BLANE)
-    cid_i = self_ref[8, :].reshape(1, BLANE)
+    i = pl.program_id(0)
+    rx = ref_ref[i * 3 + 0]
+    ry = ref_ref[i * 3 + 1]
+    rz = ref_ref[i * 3 + 2]
+    # [1, 4] row [rx, ry, rz, 0]: shifts U's coordinate rows, keeps the ones
+    lane4 = jax.lax.broadcasted_iota(jnp.int32, (1, 4), 1)
+    ref4 = jnp.where(lane4 == 0, rx,
+                     jnp.where(lane4 == 1, ry,
+                               jnp.where(lane4 == 2, rz, 0.0)))
 
-    p_i = (rhoi - rho0) * k
+    xi = self_ref[0:1, :]
+    yi = self_ref[1:2, :]
+    zi = self_ref[2:3, :]
+    cid_i = self_ref[8:9, :]
+    rhoi = self_ref[7:8, :]
     rhoi_inv = 1.0 / jnp.where(rhoi > 0.0, rhoi, 1.0)
-    pw_i = p_i * rhoi_inv * rhoi_inv
+    pw_i = (rhoi - rho0) * k * rhoi_inv * rhoi_inv
 
-    def pair_compute(carry, cand_blk, r, not_self):
-        ax, ay, az, vx, vy, vz = carry
-        xj = cand_blk[:, 0].reshape(s, 1)
-        yj = cand_blk[:, 1].reshape(s, 1)
-        zj = cand_blk[:, 2].reshape(s, 1)
-        vxj = cand_blk[:, 3].reshape(s, 1)
-        vyj = cand_blk[:, 4].reshape(s, 1)
-        vzj = cand_blk[:, 5].reshape(s, 1)
-        mj = cand_blk[:, 6].reshape(s, 1)
-        rhoj = cand_blk[:, 7].reshape(s, 1)
-        cid_j = cand_blk[:, 8].reshape(s, 1)
-
-        dx = xi - xj
-        dy = yi - yj
-        dz = zi - zj
-        d2u = dx * dx + dy * dy + dz * dz
-        rod_ok = jnp.abs((cid_j - cid_i) - _f32(deltas[r])) <= 1.0
-        mask = rod_ok & not_self & (d2u < h2)
+    def pair_compute(carry, w, r, jg, own):
+        acc_p, acc_v = carry                               # [4,128] each
+        dx = w[:, 0:1] - xi
+        dy = w[:, 1:2] - yi
+        dz = w[:, 2:3] - zi
+        d2u = dx * dx + dy * dy + dz * dz                  # unscaled, exact
+        dc = w[:, 8:9] - cid_i
+        rod_ok = jnp.abs(dc - _f32(deltas[r])) <= 1.0
+        mask = rod_ok & (jg != own) & (d2u < h2)
 
         d = jnp.sqrt(d2u) * scale
         hd = jnp.where(mask, h - d, 0.0)
+        # center = hd^2 * mj * (pw_i + pw_j) / (d + eps) * scale
+        center = (hd * hd) * (w[:, 9:10] * pw_i + w[:, 10:11]) \
+            / (d + eps) * scale
 
-        p_j = (rhoj - rho0) * k
-        rhoj_inv = 1.0 / jnp.where(rhoj > 0.0, rhoj, 1.0)
-        pweight = pw_i + p_j * rhoj_inv * rhoj_inv
+        # sum_c u_c * W_cs: MXU dot_general or VPU sublane sums
+        if _MXU_REDUCE:
+            u_press = w[:, 0:4] - ref4
+            acc_p = acc_p + jax.lax.dot_general(
+                u_press, center, (((0,), (0,)), ((), ())),
+                precision=_HI, preferred_element_type=jnp.float32)
+            acc_v = acc_v + jax.lax.dot_general(
+                w[:, 4:8], hd, (((0,), (0,)), ((), ())),
+                precision=_HI, preferred_element_type=jnp.float32)
+        else:
+            def red(col, tile):
+                return jnp.sum(col * tile, axis=0, keepdims=True)
+            rx4 = ref4[0, 0]; ry4 = ref4[0, 1]; rz4 = ref4[0, 2]
+            acc_p = acc_p + jnp.concatenate([
+                red(w[:, 0:1] - rx4, center), red(w[:, 1:2] - ry4, center),
+                red(w[:, 2:3] - rz4, center),
+                jnp.sum(center, axis=0, keepdims=True)], axis=0)
+            acc_v = acc_v + jnp.concatenate([
+                red(w[:, 4:5], hd), red(w[:, 5:6], hd), red(w[:, 6:7], hd),
+                red(w[:, 7:8], hd)], axis=0)
+        return acc_p, acc_v
 
-        center = (hd * hd) * (mj * pweight) / (d + eps) * scale
-        ax = ax + jnp.sum(dx * center, axis=0, keepdims=True)
-        ay = ay + jnp.sum(dy * center, axis=0, keepdims=True)
-        az = az + jnp.sum(dz * center, axis=0, keepdims=True)
+    zero4 = jnp.zeros((4, BLANE), jnp.float32)
+    acc_p, acc_v = _sweep_body_t(
+        cfg, s_t, block_base, ws_ref, wc_ref, ref_ref,
+        fields_hbm, self_ref, cand, sem, (zero4, zero4), pair_compute)
 
-        vweight = hd * (rhoj_inv * mj)
-        vx = vx + jnp.sum((vxj - vxi) * vweight, axis=0, keepdims=True)
-        vy = vy + jnp.sum((vyj - vyi) * vweight, axis=0, keepdims=True)
-        vz = vz + jnp.sum((vzj - vzi) * vweight, axis=0, keepdims=True)
-        return ax, ay, az, vx, vy, vz
+    # pressure: sum dx*center with dx = xi - xj  ->  xi_rel*S - S_xjrel
+    # viscosity: sum (vxj - vxi) * hd * rimj     ->  V_xj - vxi*S_rimj
+    s_cen = acc_p[3:4, :]
+    ax = (xi - rx) * s_cen - acc_p[0:1, :]
+    ay = (yi - ry) * s_cen - acc_p[1:2, :]
+    az = (zi - rz) * s_cen - acc_p[2:3, :]
+    s_rim = acc_v[3:4, :]
+    vx = acc_v[0:1, :] - self_ref[3:4, :] * s_rim
+    vy = acc_v[1:2, :] - self_ref[4:5, :] * s_rim
+    vz = acc_v[2:3, :] - self_ref[5:6, :] * s_rim
 
-    zero = jnp.zeros((1, BLANE), jnp.float32)
-    ax, ay, az, vx, vy, vz = _sweep_body_t(
-        cfg, window, block_base, ws_ref, wc_ref, fields_hbm, cand, sem,
-        (zero,) * 6, pair_compute)
     norm = _f32(cfg.visc_lap_norm)
     mu_rhoi = _f32(cfg.viscosity) * rhoi_inv
     acc_ref[0, :] = (mu_rhoi * vx * norm + ax * norm).reshape(BLANE)
@@ -238,84 +297,145 @@ def _force_kernel_t(cfg: SphConfig, window: int, block_base: int,
     acc_ref[2, :] = (mu_rhoi * vz * norm + az * norm).reshape(BLANE)
 
 
-def _grid_spec_t(nblocks: int, nfields: int, window: int, out_specs):
+# ---------------------------------------------------------------------------
+# pallas_call wrapper
+# ---------------------------------------------------------------------------
+
+def _grid_spec_t(nblocks: int, nself: int, s_t: int, out_specs):
     return pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,                             # wstart, wchunks (1-D)
+        num_scalar_prefetch=3,                             # ws, wc (i32), ref (f32)
         grid=(nblocks,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),          # fields [n_pad, F]
-            pl.BlockSpec((nfields, BLANE), lambda i, *_: (0, i),
+            pl.BlockSpec(memory_space=pltpu.ANY),          # fields [n_pad, 128]
+            pl.BlockSpec((nself, BLANE), lambda i, *_: (0, i),
                          memory_space=pltpu.VMEM),         # self rows
         ],
         out_specs=out_specs,
         scratch_shapes=[
-            pltpu.VMEM((3, len(_RODS), window, nfields), jnp.float32),
+            # slots 0/1 = block pipeline; slot 2 rod 0 = multi-chunk tail
+            pltpu.VMEM((3, len(_RODS), s_t, LANE), jnp.float32),
             pltpu.SemaphoreType.DMA((3, len(_RODS))),
         ],
     )
 
 
-def compute_step_quantities(cfg: SphConfig, state: ParticleState
-                            ) -> tuple[jnp.ndarray, jnp.ndarray, celllist.CellListAux]:
-    """Transposed-layout pallas backend; contract identical to pallas_step."""
+def _pad_rows(cols: jnp.ndarray, n_pad: int, naug: int) -> jnp.ndarray:
+    """[N, R] columns -> [n_pad, 128] with the values in the first R lanes."""
+    n, r = cols.shape
+    assert r <= naug <= LANE
+    return jnp.pad(cols, ((0, n_pad - n), (0, LANE - r)))
+
+
+class PreparedT(NamedTuple):
+    """Sorted fields + window tables shared by both transposed sweeps."""
+
+    order: jnp.ndarray       # [N] sorted-position -> original index
+    pos_s: jnp.ndarray       # [N, 3] sorted
+    vel_s: jnp.ndarray       # [N, 3] sorted
+    mass_s: jnp.ndarray      # [N] sorted
+    cid_f: jnp.ndarray       # [N] sorted cell ids as f32
+    ws: jnp.ndarray          # [nblocks*9] window starts
+    wc: jnp.ndarray          # [nblocks*9] chunk counts
+    ref: jnp.ndarray         # [nblocks*3] per-block reference points
+
+
+def _validate(cfg: SphConfig) -> None:
     if cfg.compat:
         raise ValueError("pallas backend supports default mode only")
     if cfg.num_cells > 1 << 24:
         raise ValueError("cell ids stored in f32 (exact up to 2^24 cells)")
     _check_grid_nondegenerate(cfg)
-    s = cfg.pallas_window_t
-    if s % SUB:
+    if cfg.pallas_window_t % SUB:
         raise ValueError(f"pallas_window_t must be a multiple of {SUB}")
+
+
+def _n_pad(cfg: SphConfig, n: int) -> int:
+    return _round_up(n + cfg.pallas_window_t, LANE)
+
+
+def prepare_t(cfg: SphConfig, state: ParticleState) -> PreparedT:
+    """Binning + fused sort + per-block window tables.
+
+    One ``lax.sort`` pair-sort yields sorted ids + permutation together
+    (cheaper than argsort + gather); fields ride through one [N, 7] row
+    gather; no full per-cell offset tables are built (see _block_windows_t).
+    """
+    _validate(cfg)
     n = state.position.shape[0]
     nblocks = -(-n // BLANE)
-    n_rows = nblocks * BLANE
-    pad_rows = n_rows - n
-    MAX_BLOCKS = (384 << 10) // (len(_RODS) * 4)
 
-    g = build_grid(cfg, state.position)
+    cid = linear_cell_id(cfg, cell_coords(cfg, state.position))
+    cid_sorted, order = jax.lax.sort(
+        (cid, jnp.arange(n, dtype=jnp.int32)), num_keys=1)
     stacked = jnp.concatenate(
         [state.position, state.velocity, state.mass[:, None]], axis=1)
-    stacked_s = stacked[g.order]
+    stacked_s = stacked[order]
     pos_s = stacked_s[:, 0:3]
-    cid_f = g.cell_ids.astype(jnp.float32)
 
-    n_pad = _round_up(n, SUB) + s
-    def padf(a, fill=0.0):
-        return jnp.pad(a, (0, n_pad - n), constant_values=fill)
+    ws, wc = _block_windows_t(cfg, cid_sorted, nblocks,
+                              cfg.pallas_window_t, n, _n_pad(cfg, n))
+    first = jnp.minimum(jnp.arange(nblocks, dtype=jnp.int32) * BLANE, n - 1)
+    return PreparedT(
+        order=order,
+        pos_s=pos_s,
+        vel_s=stacked_s[:, 3:6],
+        mass_s=stacked_s[:, 6],
+        cid_f=cid_sorted.astype(jnp.float32),
+        ws=ws.reshape(-1), wc=wc.reshape(-1),
+        ref=pos_s[first].reshape(-1),
+    )
 
-    ws, wc = _block_windows_t(cfg, g.cell_ids, g.cell_start, g.cell_end,
-                              nblocks, s, n, n_pad)
-    ws = ws.reshape(-1)
-    wc = wc.reshape(-1)
-    cid_pad = padf(cid_f, fill=-10.0)
 
-    def run_chunked(kernel, fields_cols, nfields, out_specs, make_out_shape):
-        fields = jnp.stack(fields_cols, axis=1)           # [n_pad, F]
-        selfrows = jnp.pad(fields[:n].T, ((0, 0), (0, pad_rows)))
-        parts = []
-        for base in range(0, nblocks, MAX_BLOCKS):
-            nb_c = min(MAX_BLOCKS, nblocks - base)
-            sl = slice(base * len(_RODS), (base + nb_c) * len(_RODS))
-            out = pl.pallas_call(
-                partial(kernel, cfg, s, base),
-                out_shape=make_out_shape(nb_c * BLANE),
-                grid_spec=_grid_spec_t(nb_c, nfields, s, out_specs),
-                interpret=cfg.pallas_interpret,
-            )(ws[sl], wc[sl], fields,
-              jax.lax.dynamic_slice_in_dim(selfrows, base * BLANE,
-                                           nb_c * BLANE, axis=1))
-            parts.append(out)
-        if isinstance(parts[0], (tuple, list)):
-            return tuple(jnp.concatenate([p[k] for p in parts], axis=1)
-                         for k in range(len(parts[0])))
-        return jnp.concatenate(parts, axis=1)
+def _run_chunked(cfg, p: PreparedT, kernel, cand_cols, self_cols,
+                 out_specs, make_out_shape):
+    """cand_cols/self_cols: [N, R] column matrices (padding rows get cid -10
+    via the dedicated cid column fill)."""
+    s_t = cfg.pallas_window_t
+    n = p.pos_s.shape[0]
+    n_pad = _n_pad(cfg, n)
+    nblocks = -(-n // BLANE)
+    pad_rows = nblocks * BLANE - n
+    MAX_BLOCKS = (256 << 10) // (len(_RODS) * 4)
+    fields = _pad_rows(cand_cols, n_pad, LANE)             # [n_pad, 128]
+    selfrows = jnp.pad(self_cols.T, ((0, 0), (0, pad_rows)))
+    parts = []
+    for base in range(0, nblocks, MAX_BLOCKS):
+        nb_c = min(MAX_BLOCKS, nblocks - base)
+        sl = slice(base * len(_RODS), (base + nb_c) * len(_RODS))
+        out = pl.pallas_call(
+            partial(kernel, cfg, s_t, base),
+            out_shape=make_out_shape(nb_c * BLANE),
+            grid_spec=_grid_spec_t(nb_c, self_cols.shape[1], s_t, out_specs),
+            interpret=cfg.pallas_interpret,
+        )(p.ws[sl], p.wc[sl],
+          jax.lax.dynamic_slice_in_dim(p.ref, base * 3, nb_c * 3),
+          fields,
+          jax.lax.dynamic_slice_in_dim(selfrows, base * BLANE,
+                                       nb_c * BLANE, axis=1))
+        parts.append(out)
+    if isinstance(parts[0], (tuple, list)):
+        return tuple(jnp.concatenate([pt[k] for pt in parts], axis=1)
+                     for k in range(len(parts[0])))
+    return jnp.concatenate(parts, axis=1)
 
-    # density: x, y, z, m, cid
-    rho_blocks, nc_blocks = run_chunked(
-        _density_kernel_t,
-        [padf(pos_s[:, 0]), padf(pos_s[:, 1]), padf(pos_s[:, 2]),
-         padf(stacked_s[:, 6]), cid_pad],
-        5,
+
+def density_sweep_t(cfg: SphConfig, p: PreparedT
+                    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(rho_s, ncount_s) in sorted order."""
+    n = p.pos_s.shape[0]
+    n_rows = -(-n // BLANE) * BLANE
+    # candidate lanes: x, y, z, cid, m; self rows: x, y, z, m, cid.
+    # Padding rows beyond N get an impossible cid so window chunks that
+    # overrun the array tail always fail the rod mask.
+    cand = jnp.concatenate(
+        [p.pos_s, p.cid_f[:, None], p.mass_s[:, None]], axis=1)
+    pad = jnp.zeros((_n_pad(cfg, n) - n, cand.shape[1]), jnp.float32)
+    pad = pad.at[:, 3].set(-10.0)
+    cand = jnp.concatenate([cand, pad], axis=0)
+    selfc = jnp.concatenate(
+        [p.pos_s, p.mass_s[:, None], p.cid_f[:, None]], axis=1)
+    rho_blocks, nc_blocks = _run_chunked(
+        cfg, p, _density_kernel_t, cand, selfc,
         out_specs=(
             pl.BlockSpec((1, BLANE), lambda i, *_: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, BLANE), lambda i, *_: (0, i), memory_space=pltpu.VMEM),
@@ -325,29 +445,57 @@ def compute_step_quantities(cfg: SphConfig, state: ParticleState
             jax.ShapeDtypeStruct((1, rows), jnp.int32),
         ),
     )
-    rho_s = rho_blocks.reshape(n_rows)[:n]
-    ncount_s = nc_blocks.reshape(n_rows)[:n]
+    return rho_blocks.reshape(n_rows)[:n], nc_blocks.reshape(n_rows)[:n]
 
-    # force: x, y, z, vx, vy, vz, m, rho, cid
-    acc_rows = run_chunked(
-        _force_kernel_t,
-        [padf(pos_s[:, 0]), padf(pos_s[:, 1]), padf(pos_s[:, 2]),
-         padf(stacked_s[:, 3]), padf(stacked_s[:, 4]), padf(stacked_s[:, 5]),
-         padf(stacked_s[:, 6]), padf(rho_s), cid_pad],
-        9,
+
+def force_sweep_t(cfg: SphConfig, p: PreparedT, rho_s: jnp.ndarray
+                  ) -> jnp.ndarray:
+    """acc_s [N,3] in sorted order (hydro only; gravity/CFL added by caller)."""
+    n = p.pos_s.shape[0]
+    n_pad = _n_pad(cfg, n)
+    rhoj_inv = 1.0 / jnp.where(rho_s > 0.0, rho_s, 1.0)
+    p_j = (rho_s - _f32(cfg.rho0)) * _f32(cfg.stiffness)
+    rimj = rhoj_inv * p.mass_s
+    mjpwj = p.mass_s * (p_j * rhoj_inv * rhoj_inv)
+    ones = jnp.ones((n, 1), jnp.float32)
+    cand = jnp.concatenate(
+        [p.pos_s, ones, rimj[:, None] * p.vel_s, rimj[:, None],
+         p.cid_f[:, None], p.mass_s[:, None], mjpwj[:, None]], axis=1)
+    pad = jnp.zeros((n_pad - n, cand.shape[1]), jnp.float32)
+    pad = pad.at[:, 8].set(-10.0)                           # impossible cid
+    cand = jnp.concatenate([cand, pad], axis=0)
+    selfc = jnp.concatenate(
+        [p.pos_s, p.vel_s, p.mass_s[:, None], rho_s[:, None],
+         p.cid_f[:, None]], axis=1)
+    acc_rows = _run_chunked(
+        cfg, p, _force_kernel_t, cand, selfc,
         out_specs=pl.BlockSpec((3, BLANE), lambda i, *_: (0, i),
                                memory_space=pltpu.VMEM),
         make_out_shape=lambda rows: jax.ShapeDtypeStruct((3, rows), jnp.float32),
     )
-    acc_s = acc_rows[:, :n].T
+    return acc_rows[:, :n].T
 
-    acc_s = acc_s + physics.central_gravity(cfg, pos_s)
+
+def compute_step_quantities(cfg: SphConfig, state: ParticleState
+                            ) -> tuple[jnp.ndarray, jnp.ndarray, celllist.CellListAux]:
+    """Transposed-layout pallas backend; contract identical to pallas_step."""
+    p = prepare_t(cfg, state)
+    rho_s, ncount_s = density_sweep_t(cfg, p)
+    acc_s = force_sweep_t(cfg, p, rho_s)
+
+    acc_s = acc_s + physics.central_gravity(cfg, p.pos_s)
     acc_s = acc_s + jnp.asarray(cfg.gravity, jnp.float32)
     acc_s = physics.cfl_clamp(cfg, acc_s)
 
+    # one pair-sort + one stacked row gather instead of three scatters
+    # (a [1M,3] scatter costs ~45 ms on v5e)
+    inv = inverse_order(p.order)
+    acc, rho, ncount = unsort_stacked(inv, [acc_s, rho_s, ncount_s])
     aux = celllist.CellListAux(
-        neighbor_count=unsort(g.order, ncount_s),
-        overflow_cells=g.overflow_cells,
+        neighbor_count=ncount,
+        # this backend has no per-cell capacity: binning cannot overflow and
+        # long windows are walked exactly by the multi-chunk tail
+        overflow_cells=jnp.zeros((), jnp.int32),
         truncated_ranges=jnp.zeros((), jnp.int32),
     )
-    return unsort(g.order, acc_s), unsort(g.order, rho_s), aux
+    return acc, rho, aux

@@ -5,6 +5,8 @@ inventory); this package *introduces* the distributed layer as first-class:
 spatial decomposition over a ``jax.sharding.Mesh`` with XLA collectives over
 ICI."""
 
-from .sharding import make_mesh, make_sharded_step, shard_state, step_sharded
+from .sharding import (derive_halo_rows, make_mesh, make_sharded_step,
+                       shard_state, step_sharded, step_sharded_halo)
 
-__all__ = ["make_mesh", "make_sharded_step", "shard_state", "step_sharded"]
+__all__ = ["derive_halo_rows", "make_mesh", "make_sharded_step",
+           "shard_state", "step_sharded", "step_sharded_halo"]

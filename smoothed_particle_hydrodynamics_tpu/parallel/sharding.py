@@ -157,10 +157,13 @@ def step_sharded_halo(cfg: SphConfig, mesh: Mesh, state: ParticleState,
         ext = jnp.concatenate([from_left, fields_loc, from_right], axis=0)
 
         base = idx * rows - h                               # global idx of ext[0]
-        # clamp candidate ranges into the halo band; count what was cut
+        # clamp candidate ranges into the halo band; count dropped CANDIDATE
+        # ROWS (empty [0,0) ranges from out-of-grid rods must not count)
         lo = jnp.maximum(rng_s, idx * rows - h)
         hi = jnp.minimum(rng_e, (idx + 1) * rows + h)
-        cut = jnp.sum((rng_s < lo) | (rng_e > hi)).astype(jnp.int32)
+        cut_left = jnp.maximum(jnp.minimum(rng_e, lo) - rng_s, 0)
+        cut_right = jnp.maximum(rng_e - jnp.maximum(rng_s, hi), 0)
+        cut = jnp.sum(cut_left + cut_right).astype(jnp.int32)
         lo = lo - base
         hi = jnp.maximum(hi - base, lo)
 
@@ -227,7 +230,55 @@ def run_steps_sharded(cfg: SphConfig, mesh: Mesh, state: ParticleState,
     return jax.lax.scan(body, state, None, length=num_steps)
 
 
-def make_sharded_step(cfg: SphConfig, mesh: Mesh, donate: bool = True
+def derive_halo_rows(cfg: SphConfig, state: ParticleState,
+                     n_devices: int) -> int:
+    """Halo size from the state's cell-plane occupancy (host-side, concrete).
+
+    A slab-edge particle's stencil candidates reach back to the start of the
+    previous z-plane of cells, so one halo side must cover at most
+    ``pop(z-1) + pop(z)`` sorted rows for the densest adjacent plane pair.
+    25% headroom absorbs drift between rebuilds; runtime undersizing is
+    observable as ``StepDiagnostics.halo_dropped``.
+    """
+    import numpy as np
+
+    from ..ops.grid import cell_coords
+
+    z = np.asarray(cell_coords(cfg, state.position))[:, 2]
+    pop = np.bincount(z, minlength=cfg.grid_nz).astype(np.int64)
+    need = int((pop[:-1] + pop[1:]).max()) if cfg.grid_nz > 1 else int(pop[0])
+    rows = state.position.shape[0] // max(n_devices, 1)
+    halo = min(rows, max(64, (need * 5) // 4))
+    return -(-halo // 8) * 8 if halo < rows else rows
+
+
+def make_sharded_step(cfg: SphConfig, mesh: Mesh, donate: bool = True,
+                      halo_rows: int | None = None, variant: str = "halo",
+                      chunk: int = 1024
                       ) -> Callable[[ParticleState], tuple[ParticleState, StepDiagnostics]]:
-    f = partial(step_sharded, cfg, mesh)
-    return jax.jit(f, donate_argnums=(0,) if donate else ())
+    """The production multi-chip step: halo exchange over ICI.
+
+    ``halo_rows=None`` derives the halo from the first state's cell-plane
+    occupancy (``derive_halo_rows``).  ``variant="gather"`` selects the
+    replicated-gather step — kept as a correctness oracle for tests; it
+    cannot weak-scale (per-device memory is O(N))."""
+    if variant == "gather":
+        f = partial(step_sharded, cfg, mesh, chunk=chunk)
+        return jax.jit(f, donate_argnums=(0,) if donate else ())
+    if variant != "halo":
+        raise ValueError(f"unknown sharded-step variant: {variant!r}")
+
+    ndev = math.prod(mesh.devices.shape)
+    jitted: dict = {}
+
+    def run(state: ParticleState):
+        nonlocal halo_rows
+        if halo_rows is None:
+            halo_rows = derive_halo_rows(cfg, state, ndev)
+        if "f" not in jitted:
+            f = partial(step_sharded_halo, cfg, mesh, halo_rows=halo_rows,
+                        chunk=chunk)
+            jitted["f"] = jax.jit(f, donate_argnums=(0,) if donate else ())
+        return jitted["f"](state)
+
+    return run
