@@ -94,11 +94,15 @@ class SphConfig:
     pallas_block_rows: int = 128    # sorted particles per kernel grid step
     pallas_window: int = 512        # candidate DMA window (lane-aligned)
     pallas_interpret: bool = False  # run kernels in interpreter mode (CPU tests)
-    # "lane": candidates on the lane axis (128-aligned windows);
-    # "sublane": candidates on the sublane axis (8-aligned windows; probed
-    # ~1.8x faster — see docs/PERFORMANCE.md "Transposed tiles")
-    pallas_layout: str = "lane"
-    pallas_window_t: int = 256      # sublane-layout window (multiple of 8)
+    # "sublane": candidates on the sublane axis (8-aligned windows, MXU force
+    # reductions; measured 207 -> 122 ms/step at 1M — the production layout);
+    # "lane": candidates on the lane axis (128-aligned windows; kept as the
+    # second hardware oracle)
+    pallas_layout: str = "sublane"
+    # sublane window: 192 covers ~p90 of rod windows at 1M/occupancy-7 scenes;
+    # measured best (smaller hits the synchronous multi-chunk tail, larger is
+    # padding — docs/PERFORMANCE.md round 2)
+    pallas_window_t: int = 192      # sublane-layout window (multiple of 8)
 
     # ---------------------------------------------------------------------------
     # Derived constants (float32-faithful to /root/reference/src/sph.cpp:46-95)
