@@ -23,6 +23,8 @@ def main() -> int:
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--warmup", type=int, default=5)
     ap.add_argument("--backend", default=None, help="default: pallas on TPU, celllist elsewhere")
+    ap.add_argument("--no-parity", action="store_true",
+                    help="skip the pallas-vs-celllist hardware parity block")
     args = ap.parse_args()
 
     import jax
@@ -32,14 +34,26 @@ def main() -> int:
         platform = jax.devices()[0].platform.lower()
         backend = "celllist" if platform == "cpu" else "pallas"
 
-    from smoothed_particle_hydrodynamics_tpu.utils.benchmark import run_benchmark
+    from smoothed_particle_hydrodynamics_tpu.utils.benchmark import (
+        run_benchmark, run_parity_check)
+
+    # Production pallas path = lazy rebinning over a 1.5h-cell grid (the skin
+    # that lets bins persist across steps; ops/lazy.py docstring for the bound).
+    lazy = backend == "pallas"
+    overrides = {"num_particles": args.num_particles}
+    if lazy:
+        # measured optimum at 1M (docs/PERFORMANCE.md round 2): 1.25h cells
+        # give a 0.125h drift skin (rebin every ~3 steps) at p90 window 205
+        overrides["cell_size_factor"] = 1.25
+        overrides["pallas_window_t"] = 208
 
     result = run_benchmark(
         scene=args.scene,
         backend=backend,
         steps=args.steps,
         warmup=args.warmup,
-        overrides={"num_particles": args.num_particles},
+        overrides=overrides,
+        lazy=lazy,
     )
     line = {
         "metric": "particle-steps/sec/chip@1M",
@@ -49,9 +63,14 @@ def main() -> int:
         "ms_per_step": result["ms_per_step"],
         "scene": result["scene"],
         "backend": result["backend"],
+        "lazy": result["lazy"],
         "num_particles": result["num_particles"],
         "device": result["device"],
     }
+    if not args.no_parity:
+        # recorded proof that the compiled Mosaic kernels agree with the XLA
+        # cell-list oracle on THIS device (not just interpreter mode)
+        line["parity"] = run_parity_check()
     print(json.dumps(line))
     return 0
 

@@ -98,12 +98,30 @@ def cmd_run(args) -> int:
                 diags.append(d)
             return s, jax.tree.map(lambda *xs: jnp.stack(xs), *diags)
     else:
-        # host loop with donation: lax.scan de-optimizes the pallas step at
-        # large N (docs/PERFORMANCE.md), host dispatch is negligible
-        from .ops.step import drive_loop
+        use_lazy = args.lazy
+        if use_lazy is None:  # auto: the pallas production driver
+            use_lazy = (args.backend == "pallas" and not cfg.compat
+                        and cfg.pallas_layout == "sublane"
+                        and cfg.second_kick != "full")
+        if use_lazy:
+            # lazy rebinning (ops.lazy): state stays sorted, bins rebuild only
+            # when drift crosses (cell_size - h)/2
+            from .ops.lazy import drive_loop_lazy, unsort_carry
 
-        def run(s, num_steps):
-            return drive_loop(cfg, s, num_steps, backend=args.backend)
+            lazy_ctx = {"carry": None}
+
+            def run(s, num_steps):
+                carry, diags = drive_loop_lazy(
+                    cfg, s, num_steps, carry=lazy_ctx["carry"], keep_carry=True)
+                lazy_ctx["carry"] = carry
+                return unsort_carry(carry), diags
+        else:
+            # host loop with donation: lax.scan de-optimizes the pallas step at
+            # large N (docs/PERFORMANCE.md), host dispatch is negligible
+            from .ops.step import drive_loop
+
+            def run(s, num_steps):
+                return drive_loop(cfg, s, num_steps, backend=args.backend)
 
     # ctrl-C = checkpoint and exit cleanly (the reference's stop button just
     # drops everything; see SURVEY.md §5 checkpoint/resume)
@@ -266,6 +284,9 @@ def main(argv=None) -> int:
                    help="run sharded over the first N devices (0 = single)")
     p.add_argument("--profile-phases", action="store_true",
                    help="measure per-phase times once (reference timing.txt columns)")
+    p.add_argument("--lazy", action=argparse.BooleanOptionalAction, default=None,
+                   help="lazy rebinning driver (default: auto — on for the "
+                        "sublane pallas backend)")
     p.add_argument("--quiet", action="store_true")
     p.set_defaults(fn=cmd_run)
 

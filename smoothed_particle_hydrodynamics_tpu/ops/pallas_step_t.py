@@ -110,12 +110,12 @@ def _sweep_body_t(cfg, s_t, block_base,
             fields_hbm.at[pl.ds(row0, s_t), :], cand.at[slot, r],
             sem.at[slot, r])
 
-    def tail_dma(row_start):
-        # slot 2 rod 0 of the shared scratch: a separately-allocated scratch
-        # buffer + scalar DMA semaphore faults Mosaic inside fori_loop
+    def tail_dma(row_start, r):
+        # slot 2 rod r of the shared pipeline scratch: a separately-allocated
+        # scratch buffer + scalar DMA semaphore faults Mosaic inside fori_loop
         return pltpu.make_async_copy(
-            fields_hbm.at[pl.ds(row_start, s_t), :], cand.at[2, 0],
-            sem.at[2, 0])
+            fields_hbm.at[pl.ds(row_start, s_t), :], cand.at[2, r],
+            sem.at[2, r])
 
     def start_block(block, slot):
         for r in range(nranges):
@@ -131,6 +131,14 @@ def _sweep_body_t(cfg, s_t, block_base,
     def _():
         start_block(i + 1, (i + 1) % 2)
 
+    # Prefetch THIS block's second chunks so 2-chunk windows (the common
+    # overflow case) overlap their DMA with the first-chunk compute instead
+    # of stalling on a synchronous copy.
+    for r in range(nranges):
+        @pl.when(wc_ref[i * nranges + r] > 1)
+        def _(r=r):
+            tail_dma(ws_ref[i * nranges + r] + s_t, r).start()
+
     slot = i % 2
     carry = init_carry
     for r in range(nranges):
@@ -142,16 +150,25 @@ def _sweep_body_t(cfg, s_t, block_base,
         carry = jax.lax.cond(wc_ref[i * nranges + r] > 0,
                              process0, lambda c: c, carry)
 
-        # Rare long windows: exact multi-chunk tail, synchronous DMA.
+        def process1(c, r=r):
+            # chunk 1 was prefetched at block start; wait and consume
+            tail_dma(ws_ref[i * nranges + r] + s_t, r).wait()
+            jg = ws_ref[i * nranges + r] + s_t + iota_sub
+            return pair_compute(c, cand[2, r], r, jg, own)
+
+        carry = jax.lax.cond(wc_ref[i * nranges + r] > 1,
+                             process1, lambda c: c, carry)
+
+        # Very long windows (3+ chunks, rare): exact synchronous walk.
         def chunk_body(c, carry2, r=r):
             row_start = ws_ref[i * nranges + r] + c * s_t
-            d = tail_dma(row_start)
+            d = tail_dma(row_start, r)
             d.start()
             d.wait()
             jg = row_start + iota_sub
-            return pair_compute(carry2, cand[2, 0], r, jg, own)
+            return pair_compute(carry2, cand[2, r], r, jg, own)
 
-        carry = jax.lax.fori_loop(1, wc_ref[i * nranges + r], chunk_body, carry)
+        carry = jax.lax.fori_loop(2, wc_ref[i * nranges + r], chunk_body, carry)
     return carry
 
 
@@ -476,16 +493,26 @@ def force_sweep_t(cfg: SphConfig, p: PreparedT, rho_s: jnp.ndarray
     return acc_rows[:, :n].T
 
 
+def sweeps_sorted(cfg: SphConfig, p: PreparedT
+                  ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Both sweeps + gravity + CFL clamp, all in the SORTED frame.
+
+    The sorted-frame contract lets the lazy driver (``ops.lazy``) keep state
+    permanently sorted and skip the inverse permutation entirely.
+    """
+    rho_s, ncount_s = density_sweep_t(cfg, p)
+    acc_s = force_sweep_t(cfg, p, rho_s)
+    acc_s = acc_s + physics.central_gravity(cfg, p.pos_s)
+    acc_s = acc_s + jnp.asarray(cfg.gravity, jnp.float32)
+    acc_s = physics.cfl_clamp(cfg, acc_s)
+    return acc_s, rho_s, ncount_s
+
+
 def compute_step_quantities(cfg: SphConfig, state: ParticleState
                             ) -> tuple[jnp.ndarray, jnp.ndarray, celllist.CellListAux]:
     """Transposed-layout pallas backend; contract identical to pallas_step."""
     p = prepare_t(cfg, state)
-    rho_s, ncount_s = density_sweep_t(cfg, p)
-    acc_s = force_sweep_t(cfg, p, rho_s)
-
-    acc_s = acc_s + physics.central_gravity(cfg, p.pos_s)
-    acc_s = acc_s + jnp.asarray(cfg.gravity, jnp.float32)
-    acc_s = physics.cfl_clamp(cfg, acc_s)
+    acc_s, rho_s, ncount_s = sweeps_sorted(cfg, p)
 
     # one pair-sort + one stacked row gather instead of three scatters
     # (a [1M,3] scatter costs ~45 ms on v5e)

@@ -90,12 +90,14 @@ class StepDiagnostics(NamedTuple):
     overflow_cells: jax.Array     # scalar i32: cells whose occupancy exceeded capacity
     truncated_ranges: jax.Array   # scalar i32: candidate windows cut by static capacity
     halo_dropped: jax.Array       # scalar i32: candidates beyond the halo band (sharded halo path)
+    migration_dropped: jax.Array  # scalar i32: particles lost to migration/slab capacity (slab path)
 
 
 def make_step_diagnostics(tally, neighbor_count: jax.Array,
                           overflow_cells: jax.Array,
                           truncated_ranges: jax.Array | None = None,
-                          halo_dropped: jax.Array | None = None) -> StepDiagnostics:
+                          halo_dropped: jax.Array | None = None,
+                          migration_dropped: jax.Array | None = None) -> StepDiagnostics:
     """Assemble the per-step diagnostics record from an energy tally + counters.
 
     Silent-physics counters default to 0 for paths that cannot truncate; every
@@ -114,4 +116,5 @@ def make_step_diagnostics(tally, neighbor_count: jax.Array,
         overflow_cells=overflow_cells,
         truncated_ranges=zero if truncated_ranges is None else truncated_ranges,
         halo_dropped=zero if halo_dropped is None else halo_dropped,
+        migration_dropped=zero if migration_dropped is None else migration_dropped,
     )

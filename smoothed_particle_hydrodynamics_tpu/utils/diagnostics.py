@@ -85,12 +85,14 @@ class DiagnosticsWriter:
         overflow = np.asarray(diags.overflow_cells)
         truncated = np.asarray(diags.truncated_ranges)
         halo_dropped = np.asarray(diags.halo_dropped)
+        mig_dropped = np.asarray(diags.migration_dropped)
         n = ke.shape[0] if ke.ndim else 1
         ke, pe, am = np.atleast_1d(ke), np.atleast_1d(pe), np.atleast_1d(am)
         nmean, nmax, nmin = np.atleast_1d(nmean), np.atleast_1d(nmax), np.atleast_1d(nmin)
         overflow = np.atleast_1d(overflow)
         truncated = np.atleast_1d(truncated)
         halo_dropped = np.atleast_1d(halo_dropped)
+        mig_dropped = np.atleast_1d(mig_dropped)
         ms = phase_ms or {}
         step_ms = ms.get("step", 0.0)
 
@@ -119,6 +121,7 @@ class DiagnosticsWriter:
                     "overflow_cells": int(overflow[i]),
                     "truncated_ranges": int(truncated[i]),
                     "halo_dropped": int(halo_dropped[i]),
+                    "migration_dropped": int(mig_dropped[i]),
                     "step_ms": step_ms,
                 }) + "\n")
 
@@ -179,6 +182,7 @@ def detect_truncation(diags: StepDiagnostics) -> tuple[bool, str]:
     'truncation is counted, not silently dropped')."""
     trunc = int(np.asarray(diags.truncated_ranges).sum())
     halo = int(np.asarray(diags.halo_dropped).sum())
+    mig = int(np.asarray(diags.migration_dropped).sum())
     msgs = []
     if trunc:
         msgs.append(f"{trunc} candidate ranges truncated by capacity "
@@ -186,4 +190,7 @@ def detect_truncation(diags: StepDiagnostics) -> tuple[bool, str]:
     if halo:
         msgs.append(f"{halo} candidates dropped outside the halo band "
                     "(raise halo_rows)")
+    if mig:
+        msgs.append(f"{mig} particles lost to migration/slab capacity "
+                    "(raise m_cap / p_cap)")
     return bool(msgs), "; ".join(msgs)

@@ -28,6 +28,7 @@ def _diags(n=3):
         overflow_cells=jnp.zeros((n,), jnp.int32),
         truncated_ranges=jnp.zeros((n,), jnp.int32),
         halo_dropped=jnp.zeros((n,), jnp.int32),
+        migration_dropped=jnp.zeros((n,), jnp.int32),
     )
 
 
