@@ -25,12 +25,32 @@ from .models import make_scene
 def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--scene", default="disk", help="scene name (see models.SCENES)")
     p.add_argument("-n", "--num-particles", type=int, default=None)
-    p.add_argument("--backend", default="celllist",
-                   choices=["celllist", "pairwise", "pallas", "compat"])
+    p.add_argument("--backend", default="auto",
+                   choices=["auto", "celllist", "pairwise", "pallas", "compat"],
+                   help="auto = pallas kernels on TPU, celllist elsewhere; "
+                        "celllist/pairwise are portable XLA oracles (slower "
+                        "than the C++ reference at 32k — production speed "
+                        "lives in the pallas backend)")
     p.add_argument("--compat", action="store_true",
                    help="reproduce the C++ reference's quirks (SURVEY.md §2.1)")
     p.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
                    help="override any SphConfig field, e.g. --set viscosity=0.1")
+
+
+def _resolve_backend(args) -> None:
+    """'auto' = the production pallas path on TPU, the XLA oracle elsewhere."""
+    if getattr(args, "backend", None) != "auto":
+        return
+    if getattr(args, "compat", False):
+        args.backend = "compat"
+        return
+    if getattr(args, "devices", 0) and args.devices > 1:
+        args.backend = "celllist"  # the sharded step runs the cell-list sweeps
+        return
+    import jax
+
+    platform = jax.devices()[0].platform.lower()
+    args.backend = "celllist" if platform == "cpu" else "pallas"
 
 
 def _apply_overrides(args) -> dict:
@@ -60,6 +80,7 @@ def cmd_run(args) -> int:
     from .utils.diagnostics import DiagnosticsWriter, detect_blowup, detect_truncation
     from .utils import io as ckpt_io
 
+    _resolve_backend(args)
     overrides = _apply_overrides(args)
     if args.resume:
         path = ckpt_io.latest_checkpoint(args.checkpoint_dir)
@@ -200,6 +221,7 @@ def cmd_run(args) -> int:
 def cmd_bench(args) -> int:
     from .utils.benchmark import run_benchmark
 
+    _resolve_backend(args)
     overrides = _apply_overrides(args)
     result = run_benchmark(scene=args.scene, backend=args.backend,
                            steps=args.steps or 100, warmup=args.warmup,

@@ -103,6 +103,11 @@ class SphConfig:
     # measured best (smaller hits the synchronous multi-chunk tail, larger is
     # padding — docs/PERFORMANCE.md round 2)
     pallas_window_t: int = 192      # sublane-layout window (multiple of 8)
+    # lane groups per 128-particle block: each group gets its own (smaller)
+    # rod windows, merged per candidate column by lane selects — trades a few
+    # select ops for near-G-fold fewer swept rows (block extent dominates
+    # window length)
+    pallas_groups: int = 1
 
     # ---------------------------------------------------------------------------
     # Derived constants (float32-faithful to /root/reference/src/sph.cpp:46-95)

@@ -63,21 +63,29 @@ LANE = 128   # stored row width (Mosaic cannot DMA lane-sliced windows)
 
 def _block_windows_t(cfg: SphConfig, cid_sorted, nblocks: int,
                      window: int, n: int, n_pad: int):
-    """Per (block, rod): tight 8-aligned window start + s_t-chunk count.
+    """Per (block, group, rod): tight 8-aligned window start + chunk count.
+
+    A block's 128 lanes are split into ``cfg.pallas_groups`` spatial GROUPS of
+    consecutive sorted particles, each with its own (smaller) rod windows —
+    the windows shrink by nearly the group factor because the block's own
+    sorted extent dominates window length.  Returns [nblocks * G * 9] tables
+    flattened in (block, group, rod) order.
 
     Cell offsets come from ``searchsorted`` on the sorted cell ids for just
-    the ~9*nblocks cells the windows touch — building full [num_cells]
-    start/end tables (bincount + cumsum over a 2M-cell grid) measured 10+ ms
-    at 1M particles and is only needed by the XLA cell-list backend.
+    the cells the windows touch — building full [num_cells] start/end tables
+    (bincount + cumsum over a 2M-cell grid) measured 10+ ms at 1M particles
+    and is only needed by the XLA cell-list backend.
     """
+    g = cfg.pallas_groups
+    grows = BLANE // g
     deltas = jnp.asarray([(dz * cfg.grid_ny + dy) * cfg.grid_nx
                           for dy, dz in _RODS], jnp.int32)
     pad = nblocks * BLANE - n
     cid_p = jnp.pad(cid_sorted, (0, pad), constant_values=cfg.num_cells - 1)
-    blocks = cid_p.reshape(nblocks, BLANE)
-    lo_cell = jnp.clip(blocks[:, 0][:, None] + deltas[None, :] - 1,
+    groups = cid_p.reshape(nblocks * g, grows)
+    lo_cell = jnp.clip(groups[:, 0][:, None] + deltas[None, :] - 1,
                        0, cfg.num_cells - 1)
-    hi_cell = jnp.clip(blocks[:, -1][:, None] + deltas[None, :] + 1,
+    hi_cell = jnp.clip(groups[:, -1][:, None] + deltas[None, :] + 1,
                        0, cfg.num_cells - 1)
     w_start = jnp.searchsorted(cid_sorted, lo_cell, side="left").astype(jnp.int32)
     w_end = jnp.searchsorted(cid_sorted, hi_cell, side="right").astype(jnp.int32)
@@ -87,41 +95,72 @@ def _block_windows_t(cfg: SphConfig, cid_sorted, nblocks: int,
     return w_start.astype(jnp.int32), w_chunks.astype(jnp.int32)
 
 
+def _lane_group_masks(cfg: SphConfig):
+    """[1, 128] bool per group: which lanes belong to group g."""
+    g = cfg.pallas_groups
+    grows = BLANE // g
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, BLANE), 1)
+    return [(lane // grows) == k for k in range(g)]
+
+
+def _merge_cols(tiles, masks, c):
+    """Merged candidate column c: group g's [s,1] column in group-g lanes."""
+    out = tiles[0][:, c:c + 1]
+    for k in range(1, len(tiles)):
+        out = jnp.where(masks[k], tiles[k][:, c:c + 1], out)
+    return out
+
+
 def _sweep_body_t(cfg, s_t, block_base,
                   ws_ref, wc_ref, ref_ref,
                   fields_hbm, self_ref,
                   cand, sem,
                   init_carry, pair_compute):
-    """Shared sweep machinery: pipelined slab DMA + tight-window compute.
+    """Shared sweep machinery: pipelined per-group slab DMA + merged compute.
 
-    ``pair_compute(carry, w [s_t, 128], rod, jg [s_t,1], own) -> carry``
-    consumes a window slab whose first lanes are the candidate field rows.
+    ``pair_compute(carry, tiles, rod, jg [s_t,128], own, gate) -> carry``
+    consumes the per-group window slabs of one rod; ``tiles[g][:, c]`` holds
+    candidate field c of group g's window, ``jg`` the merged global candidate
+    row index per lane, ``gate`` an optional [1, BLANE] lane mask to AND into
+    the pair mask (used by single-group tail chunks).
+
+    Empty windows are processed unconditionally: a window DMA'd for an empty
+    rod range carries rows whose cell ids lie outside the rod's [lo, hi]
+    band, so the in-kernel cid mask rejects every lane — removing the
+    per-rod conds the previous version paid on every block.
     """
+    G = cfg.pallas_groups
     i = pl.program_id(0)
     nblocks = pl.num_programs(0)
     nranges = len(_RODS)
     iota_sub = jax.lax.broadcasted_iota(jnp.int32, (s_t, 1), 0)
     own = ((block_base + i) * BLANE
            + jax.lax.broadcasted_iota(jnp.int32, (1, BLANE), 1))
+    masks = _lane_group_masks(cfg)
 
-    def dma(block, r, slot):
-        row0 = pl.multiple_of(ws_ref[block * nranges + r], SUB)
+    def wsl(block, g, r):
+        return ws_ref[(block * G + g) * nranges + r]
+
+    def wcl(block, g, r):
+        return wc_ref[(block * G + g) * nranges + r]
+
+    def dma(block, g, r, slot):
+        row0 = pl.multiple_of(wsl(block, g, r), SUB)
         return pltpu.make_async_copy(
-            fields_hbm.at[pl.ds(row0, s_t), :], cand.at[slot, r],
-            sem.at[slot, r])
+            fields_hbm.at[pl.ds(row0, s_t), :], cand.at[slot, r, g],
+            sem.at[slot, r, g])
 
-    def tail_dma(row_start, r):
-        # slot 2 rod r of the shared pipeline scratch: a separately-allocated
+    def tail_dma(row_start, g, r):
+        # slot 2 of the shared pipeline scratch: a separately-allocated
         # scratch buffer + scalar DMA semaphore faults Mosaic inside fori_loop
         return pltpu.make_async_copy(
-            fields_hbm.at[pl.ds(row_start, s_t), :], cand.at[2, r],
-            sem.at[2, r])
+            fields_hbm.at[pl.ds(row_start, s_t), :], cand.at[2, r, g],
+            sem.at[2, r, g])
 
     def start_block(block, slot):
         for r in range(nranges):
-            @pl.when(wc_ref[block * nranges + r] > 0)
-            def _():
-                dma(block, r, slot).start()
+            for g in range(G):
+                dma(block, g, r, slot).start()
 
     @pl.when(i == 0)
     def _():
@@ -135,40 +174,46 @@ def _sweep_body_t(cfg, s_t, block_base,
     # overflow case) overlap their DMA with the first-chunk compute instead
     # of stalling on a synchronous copy.
     for r in range(nranges):
-        @pl.when(wc_ref[i * nranges + r] > 1)
-        def _(r=r):
-            tail_dma(ws_ref[i * nranges + r] + s_t, r).start()
+        for g in range(G):
+            @pl.when(wcl(i, g, r) > 1)
+            def _(g=g, r=r):
+                tail_dma(wsl(i, g, r) + s_t, g, r).start()
 
     slot = i % 2
     carry = init_carry
     for r in range(nranges):
-        def process0(c, r=r):
-            dma(i, r, slot).wait()
-            jg = ws_ref[i * nranges + r] + iota_sub
-            return pair_compute(c, cand[slot, r], r, jg, own)
+        for g in range(G):
+            dma(i, g, r, slot).wait()
+        tiles = [cand[slot, r, g] for g in range(G)]
+        jg = wsl(i, 0, r) + iota_sub
+        if G > 1:
+            jg = jnp.broadcast_to(jg, (s_t, BLANE))
+            for g in range(1, G):
+                jg = jnp.where(masks[g], wsl(i, g, r) + iota_sub, jg)
+        carry = pair_compute(carry, tiles, r, jg, own, None)
 
-        carry = jax.lax.cond(wc_ref[i * nranges + r] > 0,
-                             process0, lambda c: c, carry)
+        for g in range(G):
+            def process1(c, g=g, r=r):
+                # chunk 1 was prefetched at block start; wait and consume.
+                # Single-group tails gate the other groups' lanes off.
+                tail_dma(wsl(i, g, r) + s_t, g, r).wait()
+                jg1 = wsl(i, g, r) + s_t + iota_sub
+                gate = masks[g] if G > 1 else None
+                return pair_compute(c, [cand[2, r, g]] * G, r, jg1, own, gate)
 
-        def process1(c, r=r):
-            # chunk 1 was prefetched at block start; wait and consume
-            tail_dma(ws_ref[i * nranges + r] + s_t, r).wait()
-            jg = ws_ref[i * nranges + r] + s_t + iota_sub
-            return pair_compute(c, cand[2, r], r, jg, own)
+            carry = jax.lax.cond(wcl(i, g, r) > 1, process1, lambda c: c, carry)
 
-        carry = jax.lax.cond(wc_ref[i * nranges + r] > 1,
-                             process1, lambda c: c, carry)
+            # Very long windows (3+ chunks, rare): exact synchronous walk.
+            def chunk_body(ck, carry2, g=g, r=r):
+                row_start = wsl(i, g, r) + ck * s_t
+                d = tail_dma(row_start, g, r)
+                d.start()
+                d.wait()
+                jg2 = row_start + iota_sub
+                gate = masks[g] if G > 1 else None
+                return pair_compute(carry2, [cand[2, r, g]] * G, r, jg2, own, gate)
 
-        # Very long windows (3+ chunks, rare): exact synchronous walk.
-        def chunk_body(c, carry2, r=r):
-            row_start = ws_ref[i * nranges + r] + c * s_t
-            d = tail_dma(row_start, r)
-            d.start()
-            d.wait()
-            jg = row_start + iota_sub
-            return pair_compute(carry2, cand[2, r], r, jg, own)
-
-        carry = jax.lax.fori_loop(2, wc_ref[i * nranges + r], chunk_body, carry)
+            carry = jax.lax.fori_loop(2, wcl(i, g, r), chunk_body, carry)
     return carry
 
 
@@ -187,18 +232,23 @@ def _density_kernel_t(cfg: SphConfig, s_t: int, block_base: int,
     zi = self_ref[2:3, :]
     cid_i = self_ref[4:5, :]
 
-    def pair_compute(carry, w, r, jg, own):
+    masks = _lane_group_masks(cfg)
+
+    def pair_compute(carry, tiles, r, jg, own, gate):
         rho, ncount = carry
-        dx = w[:, 0:1] - xi                                # [s_t, 128]
-        dy = w[:, 1:2] - yi
-        dz = w[:, 2:3] - zi
+        dx = _merge_cols(tiles, masks, 0) - xi             # [s_t, 128]
+        dy = _merge_cols(tiles, masks, 1) - yi
+        dz = _merge_cols(tiles, masks, 2) - zi
         d2 = dx * dx + dy * dy + dz * dz                   # unscaled
-        dc = w[:, 3:4] - cid_i
+        dc = _merge_cols(tiles, masks, 3) - cid_i
         rod_ok = jnp.abs(dc - _f32(deltas[r])) <= 1.0
         mask = rod_ok & (jg != own) & (d2 < h2)
+        if gate is not None:
+            mask = mask & gate
         t = _f32(cfg.h_scaled2) - d2 * _f32(cfg.sim_scale * cfg.sim_scale)
         w3 = _f32(cfg.poly6_norm) * t * t * t
-        rho = rho + jnp.sum(jnp.where(mask, w[:, 4:5] * w3, 0.0),
+        m_j = _merge_cols(tiles, masks, 4)
+        rho = rho + jnp.sum(jnp.where(mask, m_j * w3, 0.0),
                             axis=0, keepdims=True)
         ncount = ncount + jnp.sum(mask.astype(jnp.int32), axis=0, keepdims=True)
         return rho, ncount
@@ -253,42 +303,63 @@ def _force_kernel_t(cfg: SphConfig, s_t: int, block_base: int,
     rhoi_inv = 1.0 / jnp.where(rhoi > 0.0, rhoi, 1.0)
     pw_i = (rhoi - rho0) * k * rhoi_inv * rhoi_inv
 
-    def pair_compute(carry, w, r, jg, own):
+    masks = _lane_group_masks(cfg)
+    lane4 = jax.lax.broadcasted_iota(jnp.int32, (4, BLANE), 1)
+    masks4 = [(lane4 // (BLANE // cfg.pallas_groups)) == k
+              for k in range(cfg.pallas_groups)]
+
+    def pair_compute(carry, tiles, r, jg, own, gate):
         acc_p, acc_v = carry                               # [4,128] each
-        dx = w[:, 0:1] - xi
-        dy = w[:, 1:2] - yi
-        dz = w[:, 2:3] - zi
+        dx = _merge_cols(tiles, masks, 0) - xi
+        dy = _merge_cols(tiles, masks, 1) - yi
+        dz = _merge_cols(tiles, masks, 2) - zi
         d2u = dx * dx + dy * dy + dz * dz                  # unscaled, exact
-        dc = w[:, 8:9] - cid_i
+        dc = _merge_cols(tiles, masks, 8) - cid_i
         rod_ok = jnp.abs(dc - _f32(deltas[r])) <= 1.0
         mask = rod_ok & (jg != own) & (d2u < h2)
+        if gate is not None:
+            mask = mask & gate
 
         d = jnp.sqrt(d2u) * scale
         hd = jnp.where(mask, h - d, 0.0)
         # center = hd^2 * mj * (pw_i + pw_j) / (d + eps) * scale
-        center = (hd * hd) * (w[:, 9:10] * pw_i + w[:, 10:11]) \
+        center = (hd * hd) * (_merge_cols(tiles, masks, 9) * pw_i
+                              + _merge_cols(tiles, masks, 10)) \
             / (d + eps) * scale
 
-        # sum_c u_c * W_cs: MXU dot_general or VPU sublane sums
+        # sum_c u_c * W_cs: MXU dot_general or VPU sublane sums.  For G > 1
+        # the left matrices differ per lane group: run one full-width dot per
+        # group and keep each group's own columns (the MXU is idle next to
+        # the VPU-bound mask math, so extra dots are cheaper than selects on
+        # every candidate column).
         if _MXU_REDUCE:
-            u_press = w[:, 0:4] - ref4
-            acc_p = acc_p + jax.lax.dot_general(
-                u_press, center, (((0,), (0,)), ((), ())),
-                precision=_HI, preferred_element_type=jnp.float32)
-            acc_v = acc_v + jax.lax.dot_general(
-                w[:, 4:8], hd, (((0,), (0,)), ((), ())),
-                precision=_HI, preferred_element_type=jnp.float32)
+            def group_dots(mats, rhs):
+                dots = [jax.lax.dot_general(
+                    m, rhs, (((0,), (0,)), ((), ())),
+                    precision=_HI, preferred_element_type=jnp.float32)
+                    for m in mats]
+                out = dots[0]
+                for k in range(1, len(dots)):
+                    out = jnp.where(masks4[k], dots[k], out)
+                return out
+
+            acc_p = acc_p + group_dots(
+                [t[:, 0:4] - ref4 for t in tiles], center)
+            acc_v = acc_v + group_dots([t[:, 4:8] for t in tiles], hd)
         else:
             def red(col, tile):
                 return jnp.sum(col * tile, axis=0, keepdims=True)
             rx4 = ref4[0, 0]; ry4 = ref4[0, 1]; rz4 = ref4[0, 2]
             acc_p = acc_p + jnp.concatenate([
-                red(w[:, 0:1] - rx4, center), red(w[:, 1:2] - ry4, center),
-                red(w[:, 2:3] - rz4, center),
+                red(_merge_cols(tiles, masks, 0) - rx4, center),
+                red(_merge_cols(tiles, masks, 1) - ry4, center),
+                red(_merge_cols(tiles, masks, 2) - rz4, center),
                 jnp.sum(center, axis=0, keepdims=True)], axis=0)
             acc_v = acc_v + jnp.concatenate([
-                red(w[:, 4:5], hd), red(w[:, 5:6], hd), red(w[:, 6:7], hd),
-                red(w[:, 7:8], hd)], axis=0)
+                red(_merge_cols(tiles, masks, 4), hd),
+                red(_merge_cols(tiles, masks, 5), hd),
+                red(_merge_cols(tiles, masks, 6), hd),
+                red(_merge_cols(tiles, masks, 7), hd)], axis=0)
         return acc_p, acc_v
 
     zero4 = jnp.zeros((4, BLANE), jnp.float32)
@@ -318,7 +389,7 @@ def _force_kernel_t(cfg: SphConfig, s_t: int, block_base: int,
 # pallas_call wrapper
 # ---------------------------------------------------------------------------
 
-def _grid_spec_t(nblocks: int, nself: int, s_t: int, out_specs):
+def _grid_spec_t(nblocks: int, nself: int, s_t: int, groups: int, out_specs):
     return pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,                             # ws, wc (i32), ref (f32)
         grid=(nblocks,),
@@ -329,9 +400,9 @@ def _grid_spec_t(nblocks: int, nself: int, s_t: int, out_specs):
         ],
         out_specs=out_specs,
         scratch_shapes=[
-            # slots 0/1 = block pipeline; slot 2 rod 0 = multi-chunk tail
-            pltpu.VMEM((3, len(_RODS), s_t, LANE), jnp.float32),
-            pltpu.SemaphoreType.DMA((3, len(_RODS))),
+            # slots 0/1 = block pipeline; slot 2 = multi-chunk tails
+            pltpu.VMEM((3, len(_RODS), groups, s_t, LANE), jnp.float32),
+            pltpu.SemaphoreType.DMA((3, len(_RODS), groups)),
         ],
     )
 
@@ -364,6 +435,8 @@ def _validate(cfg: SphConfig) -> None:
     _check_grid_nondegenerate(cfg)
     if cfg.pallas_window_t % SUB:
         raise ValueError(f"pallas_window_t must be a multiple of {SUB}")
+    if cfg.pallas_groups not in (1, 2, 4):
+        raise ValueError("pallas_groups must be 1, 2, or 4")
 
 
 def _n_pad(cfg: SphConfig, n: int) -> int:
@@ -408,21 +481,22 @@ def _run_chunked(cfg, p: PreparedT, kernel, cand_cols, self_cols,
     """cand_cols/self_cols: [N, R] column matrices (padding rows get cid -10
     via the dedicated cid column fill)."""
     s_t = cfg.pallas_window_t
+    G = cfg.pallas_groups
     n = p.pos_s.shape[0]
     n_pad = _n_pad(cfg, n)
     nblocks = -(-n // BLANE)
     pad_rows = nblocks * BLANE - n
-    MAX_BLOCKS = (256 << 10) // (len(_RODS) * 4)
+    MAX_BLOCKS = (256 << 10) // (len(_RODS) * G * 4)
     fields = _pad_rows(cand_cols, n_pad, LANE)             # [n_pad, 128]
     selfrows = jnp.pad(self_cols.T, ((0, 0), (0, pad_rows)))
     parts = []
     for base in range(0, nblocks, MAX_BLOCKS):
         nb_c = min(MAX_BLOCKS, nblocks - base)
-        sl = slice(base * len(_RODS), (base + nb_c) * len(_RODS))
+        sl = slice(base * G * len(_RODS), (base + nb_c) * G * len(_RODS))
         out = pl.pallas_call(
             partial(kernel, cfg, s_t, base),
             out_shape=make_out_shape(nb_c * BLANE),
-            grid_spec=_grid_spec_t(nb_c, self_cols.shape[1], s_t, out_specs),
+            grid_spec=_grid_spec_t(nb_c, self_cols.shape[1], s_t, G, out_specs),
             interpret=cfg.pallas_interpret,
         )(p.ws[sl], p.wc[sl],
           jax.lax.dynamic_slice_in_dim(p.ref, base * 3, nb_c * 3),
