@@ -331,7 +331,7 @@ def _make_grid_spec(nblocks: int, block_rows: int, nfields: int,
         num_scalar_prefetch=1,                             # packed window table
         grid=(nblocks,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),          # fields (HBM, tiled)
+            pl.BlockSpec(memory_space=pl.ANY),          # fields (HBM, tiled)
             pl.BlockSpec((nfields, block_rows), lambda i, *_: (0, i),
                          memory_space=pltpu.VMEM),         # self rows
         ],

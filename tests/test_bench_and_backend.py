@@ -1,0 +1,44 @@
+"""Coverage for the bench parity helper and CLI backend auto-resolution."""
+
+import argparse
+
+import numpy as np
+
+from smoothed_particle_hydrodynamics_tpu.cli import _resolve_backend
+from smoothed_particle_hydrodynamics_tpu.utils.benchmark import run_parity_check
+
+
+def test_run_parity_check_cpu_interpret():
+    """The bench parity block must run anywhere (interpreter fallback on CPU)
+    and pass against the cell-list oracle."""
+    res = run_parity_check(n=1024)
+    assert res["interpret"] is True
+    assert res["neighbor_counts_equal"]
+    assert res["rho_rel_l2"] < 1e-5
+    assert res["acc_rel_l2"] < 1e-4
+    assert res["pass"]
+
+
+def _args(**kw):
+    ns = argparse.Namespace(backend="auto", compat=False, devices=0)
+    for k, v in kw.items():
+        setattr(ns, k, v)
+    return ns
+
+
+def test_resolve_backend_auto_cpu_is_celllist():
+    a = _args()
+    _resolve_backend(a)
+    assert a.backend == "celllist"  # tests force the CPU platform
+
+
+def test_resolve_backend_compat_and_devices():
+    a = _args(compat=True)
+    _resolve_backend(a)
+    assert a.backend == "compat"
+    a = _args(devices=8)
+    _resolve_backend(a)
+    assert a.backend == "celllist"
+    a = _args(backend="pallas")
+    _resolve_backend(a)
+    assert a.backend == "pallas"  # explicit choice is never overridden

@@ -94,6 +94,24 @@ def test_migration_conserves_particles():
                                rtol=1e-5, atol=1e-5)
 
 
+def test_undersized_halo_is_counted():
+    """A halo window smaller than an edge plane's population must surface in
+    halo_dropped (the plane rows the fixed window could not carry)."""
+    cfg, state = _scene()
+    mesh = make_mesh(8)
+    p_cap, h_cap, m_cap = slabs.derive_slab_caps(cfg, state, 8)
+    small_h = 64  # deliberately below the densest plane population
+    carry = slabs.distribute(cfg, state, mesh, p_cap)
+    f = slabs.make_slab_step(cfg, mesh, p_cap, small_h, m_cap, donate=False)
+    _, diag = f(carry)
+    zp = np.floor(np.asarray(state.position)[:, 2] / cfg.cell_size).astype(int)
+    plane = np.bincount(np.clip(zp, 0, cfg.grid_nz - 1), minlength=cfg.grid_nz)
+    if plane.max() > small_h:
+        assert int(diag.halo_dropped) > 0
+    else:  # scene too sparse for the starvation to trigger — fail loudly
+        raise AssertionError("test scene no longer dense enough to starve h_cap")
+
+
 def test_capacity_misses_are_counted():
     """A starved migration buffer must surface in migration_dropped."""
     cfg, state = _scene(n=2048)
