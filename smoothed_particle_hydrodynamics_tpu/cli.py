@@ -108,16 +108,19 @@ def cmd_run(args) -> int:
 
         mesh = make_mesh(args.devices)
         state = shard_state(mesh, state)
-        # host loop, like single-device: scan with stacked diagnostics ys
-        # de-optimizes large-N steps ~8x (docs/PERFORMANCE.md §4)
-        sharded_step = make_sharded_step(cfg, mesh)
 
-        def run(s, num_steps):
-            diags = []
-            for _ in range(num_steps):
-                s, d = sharded_step(s)
-                diags.append(d)
-            return s, jax.tree.map(lambda *xs: jnp.stack(xs), *diags)
+        def make_run(run_cfg):
+            # host loop, like single-device: scan with stacked diagnostics ys
+            # de-optimizes large-N steps (docs/PERFORMANCE.md §4)
+            sharded_step = make_sharded_step(run_cfg, mesh)
+
+            def run(s, num_steps):
+                diags = []
+                for _ in range(num_steps):
+                    s, d = sharded_step(s)
+                    diags.append(d)
+                return s, jax.tree.map(lambda *xs: jnp.stack(xs), *diags)
+            return run
     else:
         use_lazy = args.lazy
         if use_lazy is None:  # auto: the pallas production driver
@@ -129,20 +132,44 @@ def cmd_run(args) -> int:
             # when drift crosses (cell_size - h)/2
             from .ops.lazy import drive_loop_lazy, unsort_carry
 
-            lazy_ctx = {"carry": None}
+            def make_run(run_cfg):
+                lazy_ctx = {"carry": None}
 
-            def run(s, num_steps):
-                carry, diags = drive_loop_lazy(
-                    cfg, s, num_steps, carry=lazy_ctx["carry"], keep_carry=True)
-                lazy_ctx["carry"] = carry
-                return unsort_carry(carry), diags
+                def run(s, num_steps):
+                    carry, diags = drive_loop_lazy(
+                        run_cfg, s, num_steps, carry=lazy_ctx["carry"],
+                        keep_carry=True)
+                    lazy_ctx["carry"] = carry
+                    return unsort_carry(carry), diags
+                return run
         else:
             # host loop with donation: lax.scan de-optimizes the pallas step at
             # large N (docs/PERFORMANCE.md), host dispatch is negligible
             from .ops.step import drive_loop
 
-            def run(s, num_steps):
-                return drive_loop(cfg, s, num_steps, backend=args.backend)
+            def make_run(run_cfg):
+                def run(s, num_steps):
+                    return drive_loop(run_cfg, s, num_steps, backend=args.backend)
+                return run
+
+    run = make_run(cfg)
+
+    # Mid-run parameter apply — the reference's Apply button
+    # (/root/reference/src/sphconfig.cpp:76-95 writes gravity/stiffness/
+    # viscosity/damping/dt/CFL into the running sim).  Config is static under
+    # jit, so applies land at block boundaries and swap in a freshly-compiled
+    # step; schedule with --apply STEP:key=value (repeatable).
+    pending_applies: dict[int, dict] = {}
+    for spec in args.apply or []:
+        at, _, kv = spec.partition(":")
+        key, _, value = kv.partition("=")
+        if key not in SphConfig.__dataclass_fields__:
+            raise SystemExit(f"--apply: unknown config field {key!r}")
+        try:
+            parsed = json.loads(value)
+        except json.JSONDecodeError:
+            parsed = value
+        pending_applies.setdefault(int(at), {})[key] = parsed
 
     # ctrl-C = checkpoint and exit cleanly (the reference's stop button just
     # drops everything; see SURVEY.md §5 checkpoint/resume)
@@ -174,7 +201,20 @@ def cmd_run(args) -> int:
         done = start_step
         t_start = time.perf_counter()
         while done < total:
+            due = sorted(k for k in pending_applies if k <= done)
+            if due:
+                merged = {}
+                for k in due:
+                    merged.update(pending_applies.pop(k))
+                cfg = cfg.replace(**merged)
+                cfg.validate()
+                run = make_run(cfg)  # recompile at the block boundary
+                print(f"applied at step {done}: "
+                      + ", ".join(f"{k}={v}" for k, v in merged.items()))
             nblock = min(args.block, total - done)
+            if pending_applies:
+                upcoming = min(k for k in pending_applies if k > done)
+                nblock = min(nblock, max(upcoming - done, 1))
             t0 = time.perf_counter()
             state, diags = run(state, num_steps=nblock)
             jax.block_until_ready(state)
@@ -306,6 +346,11 @@ def main(argv=None) -> int:
                    help="run sharded over the first N devices (0 = single)")
     p.add_argument("--profile-phases", action="store_true",
                    help="measure per-phase times once (reference timing.txt columns)")
+    p.add_argument("--apply", action="append", default=[],
+                   metavar="STEP:KEY=VALUE",
+                   help="apply a config change mid-run at a step boundary "
+                        "(the reference's Apply button; repeatable), e.g. "
+                        "--apply 500:viscosity=0.1")
     p.add_argument("--lazy", action=argparse.BooleanOptionalAction, default=None,
                    help="lazy rebinning driver (default: auto — on for the "
                         "sublane pallas backend)")

@@ -62,7 +62,7 @@ LANE = 128   # stored row width (Mosaic cannot DMA lane-sliced windows)
 
 
 def _block_windows_t(cfg: SphConfig, cid_sorted, nblocks: int,
-                     window: int, n: int, n_pad: int):
+                     window: int, n: int, n_pad: int, cid_search=None):
     """Per (block, group, rod): tight 8-aligned window start + chunk count.
 
     A block's 128 lanes are split into ``cfg.pallas_groups`` spatial GROUPS of
@@ -71,10 +71,19 @@ def _block_windows_t(cfg: SphConfig, cid_sorted, nblocks: int,
     sorted extent dominates window length.  Returns [nblocks * G * 9] tables
     flattened in (block, group, rod) order.
 
+    ``cid_search`` (default: ``cid_sorted``) is the sorted cid array the
+    windows index INTO — the distributed slab engine passes the extended
+    [halo | local | halo] cids here while blocks come from the local rows.
+    Search cids may contain out-of-grid sentinels (< 0 or >= num_cells);
+    they are clipped for the histogram, which only widens windows by inert
+    rows at the array ends (the in-kernel cid mask rejects them).
+
     Cell offsets come from one bincount + cumsum + a stacked gather of the
     window cells' bounds (measured 18 ms vs 27 ms for a left/right
     searchsorted pair at 1M particles / 2M cells).
     """
+    if cid_search is None:
+        cid_search = cid_sorted
     g = cfg.pallas_groups
     grows = BLANE // g
     deltas = jnp.asarray([(dz * cfg.grid_ny + dy) * cfg.grid_nx
@@ -88,7 +97,8 @@ def _block_windows_t(cfg: SphConfig, cid_sorted, nblocks: int,
                        0, cfg.num_cells - 1)
     # bincount + cumsum + one stacked gather: same results as the previous
     # left/right searchsorted pair, measured 18 vs 27 ms at 1M / 2M cells
-    counts = jnp.bincount(cid_sorted, length=cfg.num_cells)
+    counts = jnp.bincount(jnp.clip(cid_search, 0, cfg.num_cells - 1),
+                          length=cfg.num_cells)
     cum = jnp.concatenate([jnp.zeros((1,), counts.dtype),
                            jnp.cumsum(counts)])
     bounds = cum[jnp.stack([lo_cell, hi_cell + 1], axis=0)]

@@ -92,7 +92,8 @@ def derive_slab_caps(cfg: SphConfig, state: ParticleState, ndev: int,
     p_cap = int(max(slab.max(), 1) * headroom) + 64
     h_cap = int(max(plane.max(), 1) * headroom) + 64
     m_cap = max(h_cap // 2, 64)
-    rnd = lambda v: -(-v // 64) * 64
+    # 128-multiples so the pallas sweep variant's lane blocks tile exactly
+    rnd = lambda v: -(-v // 128) * 128
     return rnd(p_cap), rnd(h_cap), rnd(m_cap)
 
 
@@ -222,8 +223,113 @@ def _perm(ndev: int, shift: int):
     return [(d, (d + shift) % ndev) for d in range(ndev)]
 
 
+def _pallas_density_local(cfg: SphConfig, ext, cid_ext, h_cap: int,
+                          p_cap: int):
+    """Density over local rows with the production sublane pallas kernel.
+
+    Same kernel as the single-chip path (``ops.pallas_step_t``): the extended
+    [halo | local | halo] rows become the candidate field array, windows are
+    built per local 128-lane block searching the extended cids, and ``own``
+    indices are offset by the halo so self-exclusion works in the extended
+    frame.  Out-of-grid sentinel cids only add inert rows at the array ends
+    (clipped in the histogram, rejected by the in-kernel cid mask).
+    """
+    from functools import partial as _partial
+
+    from jax.experimental import pallas as pl
+
+    from ..ops import pallas_step_t as pt
+
+    s_t = cfg.pallas_window_t
+    e = ext.shape[0]
+    e_pad = pt._round_up(e + s_t, pt.LANE)
+    nblocks = p_cap // pt.BLANE
+    cid_f = cid_ext.astype(jnp.float32)
+    cand = jnp.concatenate(
+        [ext[:, 0:3], cid_f[:, None], ext[:, _MASS:_MASS + 1]], axis=1)
+    pad = jnp.zeros((e_pad - e, 5), jnp.float32).at[:, 3].set(-10.0)
+    cand = jnp.concatenate([cand, pad], axis=0)
+    fields = pt._pad_rows(cand, e_pad, pt.LANE)
+    loc = slice(h_cap, h_cap + p_cap)
+    selfrows = jnp.concatenate(
+        [ext[loc, 0:3], ext[loc, _MASS:_MASS + 1], cid_f[loc][:, None]],
+        axis=1).T
+    ws, wc = pt._block_windows_t(cfg, cid_ext[loc], nblocks, s_t, p_cap,
+                                 e_pad, cid_search=cid_ext)
+    ws, wc = ws.reshape(-1), wc.reshape(-1)
+    first = jnp.arange(nblocks, dtype=jnp.int32) * pt.BLANE + h_cap
+    ref = ext[first, 0:3].reshape(-1)
+    out_specs = (
+        pl.BlockSpec((1, pt.BLANE), lambda i, *_: (0, i),
+                     memory_space=pt.pltpu.VMEM),
+        pl.BlockSpec((1, pt.BLANE), lambda i, *_: (0, i),
+                     memory_space=pt.pltpu.VMEM),
+    )
+    rho, nc = pl.pallas_call(
+        _partial(pt._density_kernel_t, cfg, s_t, h_cap // pt.BLANE),
+        out_shape=(jax.ShapeDtypeStruct((1, p_cap), jnp.float32),
+                   jax.ShapeDtypeStruct((1, p_cap), jnp.int32)),
+        grid_spec=pt._grid_spec_t(nblocks, 5, s_t, cfg.pallas_groups,
+                                  out_specs),
+        interpret=cfg.pallas_interpret,
+    )(ws, wc, ref, fields, selfrows)
+    return rho.reshape(p_cap), nc.reshape(p_cap)
+
+
+def _pallas_force_local(cfg: SphConfig, ext, cid_ext, rho_e, rho_l,
+                        h_cap: int, p_cap: int):
+    """Hydro acceleration over local rows with the production pallas kernel."""
+    from functools import partial as _partial
+
+    from jax.experimental import pallas as pl
+
+    from ..ops import pallas_step_t as pt
+    from ..ops import physics
+
+    s_t = cfg.pallas_window_t
+    e = ext.shape[0]
+    e_pad = pt._round_up(e + s_t, pt.LANE)
+    nblocks = p_cap // pt.BLANE
+    cid_f = cid_ext.astype(jnp.float32)
+    mass_e = ext[:, _MASS]
+    rhoj_inv = 1.0 / jnp.where(rho_e > 0.0, rho_e, 1.0)
+    p_j = (rho_e - _f32(cfg.rho0)) * _f32(cfg.stiffness)
+    rimj = rhoj_inv * mass_e
+    mjpwj = mass_e * (p_j * rhoj_inv * rhoj_inv)
+    ones = jnp.ones((e, 1), jnp.float32)
+    cand = jnp.concatenate(
+        [ext[:, 0:3], ones, rimj[:, None] * ext[:, 3:6], rimj[:, None],
+         cid_f[:, None], mass_e[:, None], mjpwj[:, None]], axis=1)
+    pad = jnp.zeros((e_pad - e, cand.shape[1]), jnp.float32).at[:, 8].set(-10.0)
+    cand = jnp.concatenate([cand, pad], axis=0)
+    fields = pt._pad_rows(cand, e_pad, pt.LANE)
+    loc = slice(h_cap, h_cap + p_cap)
+    selfrows = jnp.concatenate(
+        [ext[loc, 0:3], ext[loc, 3:6], ext[loc, _MASS:_MASS + 1],
+         rho_l[:, None], cid_f[loc][:, None]], axis=1).T
+    ws, wc = pt._block_windows_t(cfg, cid_ext[loc], nblocks, s_t, p_cap,
+                                 e_pad, cid_search=cid_ext)
+    ws, wc = ws.reshape(-1), wc.reshape(-1)
+    first = jnp.arange(nblocks, dtype=jnp.int32) * pt.BLANE + h_cap
+    ref = ext[first, 0:3].reshape(-1)
+    acc_rows = pl.pallas_call(
+        _partial(pt._force_kernel_t, cfg, s_t, h_cap // pt.BLANE),
+        out_shape=jax.ShapeDtypeStruct((3, p_cap), jnp.float32),
+        grid_spec=pt._grid_spec_t(nblocks, 9, s_t, cfg.pallas_groups,
+                                  pl.BlockSpec((3, pt.BLANE),
+                                               lambda i, *_: (0, i),
+                                               memory_space=pt.pltpu.VMEM)),
+        interpret=cfg.pallas_interpret,
+    )(ws, wc, ref, fields, selfrows)
+    acc = acc_rows.T
+    pos_l = ext[loc, 0:3]
+    acc = acc + physics.central_gravity(cfg, pos_l)
+    acc = acc + jnp.asarray(cfg.gravity, jnp.float32)
+    return physics.cfl_clamp(cfg, acc)
+
+
 def slab_step_body(cfg: SphConfig, ndev: int, p_cap: int, h_cap: int,
-                   m_cap: int, chunk: int, fields: jnp.ndarray,
+                   m_cap: int, chunk: int, sweeps: str, fields: jnp.ndarray,
                    count: jnp.ndarray):
     """shard_map body: one full physics step on one device's slab."""
     nzs = cfg.grid_nz // ndev
@@ -270,18 +376,20 @@ def slab_step_body(cfg: SphConfig, ndev: int, p_cap: int, h_cap: int,
 
     # ---- candidate ranges + sweeps ---------------------------------------
     row_valid = ext[h_cap:h_cap + p_cap, _OID] >= 0.0
-    rng_s, rng_e = _local_ranges(
-        cfg, cid_ext, cid_s, row_valid, n_ext)
-
-    own_idx = h_cap + jnp.arange(p_cap, dtype=jnp.int32)
-    pos_e, vel_e, mass_e = ext[:, _POS], ext[:, _VEL], ext[:, _MASS]
     pos_i = fields_s[:, _POS]
     vel_i = fields_s[:, _VEL]
     mass_i = fields_s[:, _MASS]
 
-    rho_l, nc_l, trunc = celllist.density_rows(
-        cfg, pos_e, mass_e, rng_s, rng_e, own_idx, pos_i, mass_i,
-        chunk=min(chunk, p_cap))
+    if sweeps == "pallas":
+        rho_l, nc_l = _pallas_density_local(cfg, ext, cid_ext, h_cap, p_cap)
+        trunc = jnp.zeros((), jnp.int32)      # exact multi-chunk tails
+    else:
+        rng_s, rng_e = _local_ranges(cfg, cid_ext, cid_s, row_valid, n_ext)
+        own_idx = h_cap + jnp.arange(p_cap, dtype=jnp.int32)
+        pos_e, vel_e, mass_e = ext[:, _POS], ext[:, _VEL], ext[:, _MASS]
+        rho_l, nc_l, trunc = celllist.density_rows(
+            cfg, pos_e, mass_e, rng_s, rng_e, own_idx, pos_i, mass_i,
+            chunk=min(chunk, p_cap))
 
     # force needs halo densities: exchange rho for the same edge windows
     rho_up = jax.lax.dynamic_slice_in_dim(rho_l, jnp.maximum(cnt - h_cap, 0), h_cap)
@@ -292,9 +400,13 @@ def slab_step_body(cfg: SphConfig, ndev: int, p_cap: int, h_cap: int,
     rho_right = jnp.where(d == ndev - 1, 0.0, rho_right)
     rho_e = jnp.concatenate([rho_left, rho_l, rho_right])
 
-    acc_l = celllist.force_rows(
-        cfg, pos_e, vel_e, mass_e, rho_e, rng_s, rng_e, own_idx,
-        pos_i, vel_i, rho_l, chunk=min(chunk, p_cap))
+    if sweeps == "pallas":
+        acc_l = _pallas_force_local(cfg, ext, cid_ext, rho_e, rho_l,
+                                    h_cap, p_cap)
+    else:
+        acc_l = celllist.force_rows(
+            cfg, pos_e, vel_e, mass_e, rho_e, rng_s, rng_e, own_idx,
+            pos_i, vel_i, rho_l, chunk=min(chunk, p_cap))
 
     # ---- integrate (inert rows stay inert: acc 0, vel 0) ------------------
     acc_l = jnp.where(row_valid[:, None], acc_l, 0.0)
@@ -400,17 +512,32 @@ def slab_step_body(cfg: SphConfig, ndev: int, p_cap: int, h_cap: int,
 
 
 def make_slab_step(cfg: SphConfig, mesh: Mesh, p_cap: int, h_cap: int,
-                   m_cap: int, chunk: int = 1024, donate: bool = True
+                   m_cap: int, chunk: int = 1024, donate: bool = True,
+                   sweeps: str = "celllist"
                    ) -> Callable[[SlabCarry], tuple[SlabCarry, StepDiagnostics]]:
-    """Jitted fully-distributed step over ``mesh`` (see module docstring)."""
+    """Jitted fully-distributed step over ``mesh`` (see module docstring).
+
+    ``sweeps="pallas"`` runs the SAME production sublane kernels as the
+    single-chip path inside each device's shard (requires p_cap and h_cap to
+    be multiples of 128; interpret mode on CPU).  ``"celllist"`` uses the
+    portable XLA sweeps."""
     ndev = math.prod(mesh.devices.shape)
     _nzs(cfg, ndev)
+    if sweeps not in ("celllist", "pallas"):
+        raise ValueError(f"unknown sweeps engine: {sweeps!r}")
+    if sweeps == "pallas":
+        if p_cap % 128 or h_cap % 128:
+            raise ValueError("pallas sweeps need p_cap and h_cap % 128 == 0")
 
-    body = partial(slab_step_body, cfg, ndev, p_cap, h_cap, m_cap, chunk)
+    body = partial(slab_step_body, cfg, ndev, p_cap, h_cap, m_cap, chunk,
+                   sweeps)
     sharded = jax.shard_map(
         body, mesh=mesh,
         in_specs=(P(_AXIS), P(_AXIS)),
         out_specs=(P(_AXIS), P(_AXIS), P(_AXIS)),
+        # pallas_call outputs don't carry vma annotations yet; the body is
+        # manually-sharded SPMD either way
+        check_vma=False,
     )
 
     def step(carry: SlabCarry) -> tuple[SlabCarry, StepDiagnostics]:

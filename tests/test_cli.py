@@ -63,3 +63,18 @@ def test_render_cmd(tmp_path):
 def test_unknown_field_rejected():
     with pytest.raises(SystemExit):
         main(["run", "--set", "bogus=1"])
+
+
+def test_run_mid_run_apply(tmp_path, capsys):
+    """--apply STEP:key=value swaps config at a block boundary (the
+    reference's Apply button, src/sphconfig.cpp:76-95)."""
+    out = str(tmp_path / "outa")
+    rc = main(["run", "--scene", "disk", "-n", "512", "--steps", "6",
+               "--block", "4", "--out", out,
+               "--apply", "3:viscosity=0.5", "--quiet"])
+    assert rc == 0
+    text = capsys.readouterr().out
+    assert "applied at step 3: viscosity=0.5" in text
+    # blocks split at the apply boundary and the run still completes
+    rows = open(f"{out}/energy.txt").read().splitlines()
+    assert rows[-1].startswith("5, ")

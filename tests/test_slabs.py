@@ -129,3 +129,30 @@ def test_capacity_misses_are_counted():
     total = int(np.asarray(carry.count).sum())
     assert total + dropped == cfg.num_particles, (
         "every lost particle must be accounted for in migration_dropped")
+
+
+def test_slab_pallas_sweeps_match_celllist_sweeps():
+    """sweeps='pallas' runs the production sublane kernels inside each shard;
+    physics must match the celllist slab path (interpret mode on CPU)."""
+    steps = 2
+    cfg, state = _scene(pallas_interpret=True, pallas_window_t=64)
+    mesh = make_mesh(8)
+    p_cap, h_cap, m_cap = slabs.derive_slab_caps(cfg, state, 8)
+
+    carries = {}
+    for eng in ("celllist", "pallas"):
+        carry = slabs.distribute(cfg, state, mesh, p_cap)
+        f = slabs.make_slab_step(cfg, mesh, p_cap, h_cap, m_cap,
+                                 donate=False, sweeps=eng)
+        for _ in range(steps):
+            carry, diag = f(carry)
+        carries[eng] = (slabs.collect(carry, cfg.num_particles), diag)
+
+    got, gd = carries["pallas"]
+    ref, rd = carries["celllist"]
+    np.testing.assert_allclose(np.asarray(got.position),
+                               np.asarray(ref.position),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(float(gd.neighbor_mean),
+                               float(rd.neighbor_mean), rtol=1e-6)
+    assert int(gd.migration_dropped) == 0
