@@ -21,9 +21,17 @@ from ..init import init_dam_break, init_rotating_sphere, init_splash
 from ..state import ParticleState
 
 
-def _disk(n: int = 32 * 1024, **overrides) -> tuple[SphConfig, ParticleState]:
+def _disk(n: int = 32 * 1024, exact_ic: bool = False,
+          **overrides) -> tuple[SphConfig, ParticleState]:
+    """``exact_ic=True`` reproduces the reference's srand(42) initial state
+    bit-for-bit (compat.exact_ic, no C++ toolchain needed) instead of the
+    statistically-equivalent jax.random sampler."""
     overrides.setdefault("num_particles", n)
     cfg = SphConfig(**overrides)
+    if exact_ic:
+        from ..compat.exact_ic import reference_initial_state
+
+        return cfg, reference_initial_state(cfg)
     state = init_rotating_sphere(jax.random.PRNGKey(42), cfg)
     return cfg, state
 
