@@ -89,9 +89,20 @@ def cmd_run(args) -> int:
         start_step, cfg, state = ckpt_io.load_checkpoint(path)
         print(f"resumed from {path} at step {start_step}")
     else:
+        if getattr(args, "exact_ic", False):
+            if args.scene != "disk":
+                raise SystemExit("--exact-ic only applies to the disk scene")
+            overrides["exact_ic"] = True
         cfg, state = make_scene(args.scene, **overrides)
         start_step = 0
     cfg.validate()
+    if args.backend == "pallas" and cfg.pallas_window_t == 0:
+        # auto window: size the sublane DMA window from this scene's actual
+        # rod-window length distribution (p90 measured best)
+        from .ops.pallas_step_t import derive_window_t
+
+        cfg = cfg.replace(pallas_window_t=derive_window_t(cfg, state))
+        print(f"derived pallas_window_t={cfg.pallas_window_t}")
     total = (cfg.num_steps + 1) if args.steps is None else args.steps
 
     from functools import partial
@@ -346,6 +357,9 @@ def main(argv=None) -> int:
                    help="run sharded over the first N devices (0 = single)")
     p.add_argument("--profile-phases", action="store_true",
                    help="measure per-phase times once (reference timing.txt columns)")
+    p.add_argument("--exact-ic", action="store_true",
+                   help="disk scene: start from the reference's srand(42) "
+                        "initial state bit-for-bit (compat/exact_ic.py)")
     p.add_argument("--apply", action="append", default=[],
                    metavar="STEP:KEY=VALUE",
                    help="apply a config change mid-run at a step boundary "

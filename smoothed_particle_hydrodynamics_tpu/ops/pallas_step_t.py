@@ -448,14 +448,53 @@ def _validate(cfg: SphConfig) -> None:
     if cfg.num_cells > 1 << 24:
         raise ValueError("cell ids stored in f32 (exact up to 2^24 cells)")
     _check_grid_nondegenerate(cfg)
-    if cfg.pallas_window_t % SUB:
-        raise ValueError(f"pallas_window_t must be a multiple of {SUB}")
+    if cfg.pallas_window_t <= 0 or cfg.pallas_window_t % SUB:
+        raise ValueError(f"pallas_window_t must be a positive multiple of {SUB}"
+                         " (0 = auto is resolved by the CLI via derive_window_t)")
     if cfg.pallas_groups not in (1, 2, 4):
         raise ValueError("pallas_groups must be 1, 2, or 4")
 
 
 def _n_pad(cfg: SphConfig, n: int) -> int:
     return _round_up(n + cfg.pallas_window_t, LANE)
+
+
+def derive_window_t(cfg: SphConfig, state: ParticleState,
+                    percentile: float = 90.0) -> int:
+    """Pick ``pallas_window_t`` from the state's ACTUAL rod-window lengths.
+
+    Host-side, once per run: bins the current positions, reproduces the
+    per-(block, group, rod) window-length computation in numpy, and returns
+    the given percentile rounded up to the sublane granule (min 64).  The
+    p90 measured best at 1M (docs/PERFORMANCE.md round 2): smaller windows
+    push the common case into multi-chunk tails, larger ones are padding.
+    """
+    import numpy as np
+
+    from .grid import cell_coords, linear_cell_id
+
+    n = state.position.shape[0]
+    g = cfg.pallas_groups
+    grows = BLANE // g
+    cid = np.sort(np.asarray(linear_cell_id(cfg, cell_coords(cfg, state.position))))
+    deltas = np.asarray([(dz * cfg.grid_ny + dy) * cfg.grid_nx
+                         for dy, dz in _RODS])
+    ngroups = -(-n // grows)
+    cid_p = np.pad(cid, (0, ngroups * grows - n),
+                   constant_values=cfg.num_cells - 1)
+    groups = cid_p.reshape(ngroups, grows)
+    lo = np.clip(groups[:, 0][:, None] + deltas[None, :] - 1,
+                 0, cfg.num_cells - 1)
+    hi = np.clip(groups[:, -1][:, None] + deltas[None, :] + 1,
+                 0, cfg.num_cells - 1)
+    a = np.searchsorted(cid, lo.ravel(), side="left")
+    b = np.searchsorted(cid, hi.ravel(), side="right")
+    lens = np.maximum(b - a, 0)
+    lens = lens[lens > 0]
+    if lens.size == 0:
+        return max(cfg.pallas_window_t, 64) or 64
+    w = int(np.percentile(lens, percentile))
+    return max(-(-w // SUB) * SUB, 64)
 
 
 def prepare_t(cfg: SphConfig, state: ParticleState) -> PreparedT:

@@ -42,3 +42,29 @@ def test_resolve_backend_compat_and_devices():
     a = _args(backend="pallas")
     _resolve_backend(a)
     assert a.backend == "pallas"  # explicit choice is never overridden
+
+
+def test_derive_window_t_matches_distribution():
+    from smoothed_particle_hydrodynamics_tpu.models import make_scene
+    from smoothed_particle_hydrodynamics_tpu.ops.pallas_step_t import derive_window_t
+
+    cfg, state = make_scene("dam_break", num_particles=4096,
+                            grid_nx=16, grid_ny=16, grid_nz=16)
+    w = derive_window_t(cfg, state)
+    assert w % 8 == 0 and w >= 64
+    # packed block scene: windows must comfortably exceed one lane block's
+    # own extent but stay far below the particle count
+    assert w < cfg.num_particles
+
+
+def test_cli_auto_window(tmp_path, capsys):
+    from smoothed_particle_hydrodynamics_tpu.cli import main
+
+    out = str(tmp_path / "outw")
+    rc = main(["run", "--scene", "dam_break", "-n", "1024", "--steps", "2",
+               "--block", "2", "--out", out, "--backend", "pallas",
+               "--set", "pallas_window_t=0", "--set", "pallas_interpret=true",
+               "--set", "grid_nx=16", "--set", "grid_ny=16",
+               "--set", "grid_nz=16", "--quiet"])
+    assert rc == 0
+    assert "derived pallas_window_t=" in capsys.readouterr().out
