@@ -114,24 +114,50 @@ def cmd_run(args) -> int:
             raise SystemExit(
                 f"--devices {args.devices} uses the sharded cell-list step; "
                 f"--backend {args.backend} is not available multi-device")
-        from .parallel import make_mesh, make_sharded_step
-        from .parallel.sharding import shard_state
+        from .parallel import make_mesh
 
         mesh = make_mesh(args.devices)
-        state = shard_state(mesh, state)
 
-        def make_run(run_cfg):
-            # host loop, like single-device: scan with stacked diagnostics ys
-            # de-optimizes large-N steps (docs/PERFORMANCE.md §4)
-            sharded_step = make_sharded_step(run_cfg, mesh)
+        if args.partition == "slab":
+            # fully distributed engine: per-device local sort, halo windows,
+            # fixed-capacity migration — O(N/D) memory (parallel/slabs.py)
+            from .parallel import (collect, derive_slab_caps, distribute,
+                                   make_slab_step)
 
-            def run(s, num_steps):
-                diags = []
-                for _ in range(num_steps):
-                    s, d = sharded_step(s)
-                    diags.append(d)
-                return s, jax.tree.map(lambda *xs: jnp.stack(xs), *diags)
-            return run
+            p_cap, h_cap, m_cap = derive_slab_caps(cfg, state, args.devices)
+            slab_ctx = {"carry": distribute(cfg, state, mesh, p_cap)}
+
+            def make_run(run_cfg):
+                slab_step = make_slab_step(run_cfg, mesh, p_cap, h_cap, m_cap)
+
+                def run(s, num_steps):
+                    carry = slab_ctx["carry"]
+                    diags = []
+                    for _ in range(num_steps):
+                        carry, d = slab_step(carry)
+                        diags.append(d)
+                    slab_ctx["carry"] = carry
+                    return (collect(carry, run_cfg.num_particles),
+                            jax.tree.map(lambda *xs: jnp.stack(xs), *diags))
+                return run
+        else:
+            from .parallel import make_sharded_step
+            from .parallel.sharding import shard_state
+
+            state = shard_state(mesh, state)
+
+            def make_run(run_cfg):
+                # host loop, like single-device: scan with stacked diagnostics
+                # ys de-optimizes large-N steps (docs/PERFORMANCE.md §4)
+                sharded_step = make_sharded_step(run_cfg, mesh)
+
+                def run(s, num_steps):
+                    diags = []
+                    for _ in range(num_steps):
+                        s, d = sharded_step(s)
+                        diags.append(d)
+                    return s, jax.tree.map(lambda *xs: jnp.stack(xs), *diags)
+                return run
     else:
         use_lazy = args.lazy
         if use_lazy is None:  # auto: the pallas production driver
@@ -355,6 +381,11 @@ def main(argv=None) -> int:
     p.add_argument("--render-every", type=int, default=10)
     p.add_argument("--devices", type=int, default=0,
                    help="run sharded over the first N devices (0 = single)")
+    p.add_argument("--partition", default="halo", choices=["halo", "slab"],
+                   help="multi-device decomposition: 'halo' = sharded rows + "
+                        "ppermute edge exchange (replicated binning); 'slab' = "
+                        "fully distributed engine with local sort + migration "
+                        "at O(N/D) memory (parallel/slabs.py)")
     p.add_argument("--profile-phases", action="store_true",
                    help="measure per-phase times once (reference timing.txt columns)")
     p.add_argument("--exact-ic", action="store_true",

@@ -409,9 +409,15 @@ def slab_step_body(cfg: SphConfig, ndev: int, p_cap: int, h_cap: int,
             pos_i, vel_i, rho_l, chunk=min(chunk, p_cap))
 
     # ---- integrate (inert rows stay inert: acc 0, vel 0) ------------------
+    # Inert rows ride through the integrator at a SAFE in-box point: the
+    # far-away sentinel position would blow up reflect_boundary's crossing
+    # times (inf/NaN) and poison the NaN-propagating PE tally; mass 0 keeps
+    # every tally contribution at zero, and the store is re-written to the
+    # inert sentinel after integration regardless.
+    safe = jnp.asarray(cfg.central_pos, jnp.float32)
     acc_l = jnp.where(row_valid[:, None], acc_l, 0.0)
     local_state = ParticleState(
-        position=jnp.where(row_valid[:, None], pos_i, _BIG),
+        position=jnp.where(row_valid[:, None], pos_i, safe),
         velocity=jnp.where(row_valid[:, None], vel_i, 0.0),
         mass=jnp.where(row_valid, mass_i, 0.0),
         density=rho_l,

@@ -78,3 +78,14 @@ def test_run_mid_run_apply(tmp_path, capsys):
     # blocks split at the apply boundary and the run still completes
     rows = open(f"{out}/energy.txt").read().splitlines()
     assert rows[-1].startswith("5, ")
+
+
+def test_run_multidevice_slab(tmp_path):
+    out = str(tmp_path / "outslab")
+    rc = main(["run", "--scene", "dam_break", "-n", "2048", "--steps", "2",
+               "--block", "2", "--out", out, "--devices", "8",
+               "--partition", "slab",
+               "--set", "grid_nx=16", "--set", "grid_ny=16",
+               "--set", "grid_nz=16", "--quiet"])
+    assert rc == 0
+    assert os.path.exists(f"{out}/energy.txt")
