@@ -103,6 +103,12 @@ def cmd_run(args) -> int:
 
         cfg = cfg.replace(pallas_window_t=derive_window_t(cfg, state))
         print(f"derived pallas_window_t={cfg.pallas_window_t}")
+    if cfg.range_slice == 0:
+        # auto candidate-slice: size from this scene's 3-cell occupancy
+        from .ops.celllist import derive_range_slice
+
+        cfg = cfg.replace(range_slice=derive_range_slice(cfg, state))
+        print(f"derived range_slice={cfg.range_slice}")
     total = (cfg.num_steps + 1) if args.steps is None else args.steps
 
     from functools import partial

@@ -68,3 +68,17 @@ def test_cli_auto_window(tmp_path, capsys):
                "--set", "grid_nz=16", "--quiet"])
     assert rc == 0
     assert "derived pallas_window_t=" in capsys.readouterr().out
+
+
+def test_derive_range_slice_dilute_vs_dense():
+    from smoothed_particle_hydrodynamics_tpu.models import make_scene
+    from smoothed_particle_hydrodynamics_tpu.ops.celllist import derive_range_slice
+    from smoothed_particle_hydrodynamics_tpu.ops.step import compute_forces
+
+    cfg, state = make_scene("disk", num_particles=4096)
+    rs = derive_range_slice(cfg, state)
+    assert rs % 8 == 0 and rs >= 16
+    # derived slice must not truncate on the state it was derived from
+    cfg2 = cfg.replace(range_slice=rs)
+    _, _, aux = compute_forces(cfg2, state, backend="celllist")
+    assert int(aux.truncated_ranges) == 0
