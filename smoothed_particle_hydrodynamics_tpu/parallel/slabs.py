@@ -42,9 +42,9 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import SphConfig
-from ..state import ParticleState, StepDiagnostics, make_step_diagnostics
+from ..state import ParticleState, StepDiagnostics
 from ..ops import celllist
-from ..ops.integrate import EnergyTally, kdk_integrate
+from ..ops.integrate import kdk_integrate
 
 _f32 = jnp.float32
 _BIG = jnp.float32(1e30)
