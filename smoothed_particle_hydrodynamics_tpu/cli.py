@@ -315,11 +315,15 @@ def cmd_bench(args) -> int:
 
 def cmd_render(args) -> int:
     from .init import load_state
-    from .utils.render import render_frame, save_png
+    from .utils.render import render_frame, render_frame_perspective, save_png
 
     cfg, _ = make_scene(args.scene, **_apply_overrides(args))
     state = load_state(args.state)
-    save_png(render_frame(cfg, state), args.output)
+    if args.perspective:
+        img = render_frame_perspective(cfg, state)
+    else:
+        img = render_frame(cfg, state)
+    save_png(img, args.output)
     print(f"wrote {args.output}")
     return 0
 
@@ -418,6 +422,9 @@ def main(argv=None) -> int:
     _add_common(p)
     p.add_argument("state", help="path to .npz state/checkpoint")
     p.add_argument("-o", "--output", default="frame.png")
+    p.add_argument("--perspective", action="store_true",
+                   help="3-D perspective camera (reference GL frustum+lookAt "
+                        "analog) instead of the orthographic projection")
     p.set_defaults(fn=cmd_render)
 
     p = sub.add_parser("info", help="print resolved scene config")

@@ -47,6 +47,53 @@ def _splat(pos_xy: jnp.ndarray, extent: jnp.ndarray, size: int = 512,
     return img.reshape(size, size)
 
 
+@partial(jax.jit, static_argnames=("size",))
+def _splat_perspective(pos: jnp.ndarray, eye: jnp.ndarray, target: jnp.ndarray,
+                       size: int = 512, gain: float = 40.0,
+                       tan_half_fov: float = 0.5) -> jnp.ndarray:
+    """Perspective point splat: lookAt basis + frustum divide, like the
+    reference's gluPerspective/lookAt camera (visualization.cpp:327-362)."""
+    def norm(v):
+        return v / jnp.maximum(jnp.linalg.norm(v), 1e-12)
+
+    fwd = norm(target - eye)
+    world_up = jnp.asarray([0.0, 1.0, 0.0], jnp.float32)
+    right = norm(jnp.cross(fwd, world_up))
+    up = jnp.cross(right, fwd)
+    rel = pos - eye
+    xc = rel @ right
+    yc = rel @ up
+    zc = rel @ fwd
+    near = jnp.float32(1e-3)
+    zc_safe = jnp.maximum(zc, near)
+    u = xc / (zc_safe * tan_half_fov)          # [-1,1] at the fov edge
+    v = yc / (zc_safe * tan_half_fov)
+    visible = (zc > near) & (jnp.abs(u) < 1.0) & (jnp.abs(v) < 1.0)
+    px = jnp.clip(((u * 0.5 + 0.5) * size).astype(jnp.int32), 0, size - 1)
+    py = jnp.clip(((0.5 - v * 0.5) * size).astype(jnp.int32), 0, size - 1)
+    flat = jnp.where(visible, py * size + px, 0)
+    w = visible.astype(jnp.float32)
+    counts = jnp.zeros((size * size,), jnp.float32).at[flat].add(w)
+    img = jnp.clip(counts * gain, 0.0, 255.0).astype(jnp.uint8)
+    return img.reshape(size, size)
+
+
+def render_frame_perspective(cfg: SphConfig, state: ParticleState,
+                             size: int = 512, gain: float = 40.0,
+                             elevation: float = 0.45,
+                             distance: float = 1.6) -> np.ndarray:
+    """3-D perspective view: camera orbit-style above the box, looking at its
+    center — the TPU analog of the reference's GL frustum + lookAt camera
+    normalized by box size (visualization.cpp:327-362)."""
+    box = jnp.asarray(cfg.box_max, jnp.float32)
+    center = box * 0.5
+    span = float(jnp.max(box))
+    eye = center + jnp.asarray(
+        [0.0, elevation * span, -distance * span], jnp.float32)
+    return np.asarray(_splat_perspective(
+        state.position, eye, center, size=size, gain=gain))
+
+
 def render_frame(cfg: SphConfig, state: ParticleState, size: int = 512,
                  axis: str = "xz", gain: float = 40.0,
                  voxels: bool = False) -> np.ndarray:

@@ -123,3 +123,13 @@ def test_float32_derived_constants_match_reference():
     np.testing.assert_allclose(cfg.central_pos, (3.2, 3.2, 3.2), rtol=1e-6)
     assert cfg.num_steps == 1000
     assert cfg.softening_eff == np.float32(0.1)
+
+
+def test_render_perspective():
+    from smoothed_particle_hydrodynamics_tpu.utils.render import (
+        render_frame_perspective)
+
+    cfg, state = make_scene("disk", num_particles=2048)
+    img = render_frame_perspective(cfg, state)
+    assert img.shape == (512, 512) and img.dtype.name == "uint8"
+    assert img.max() > 0, "perspective frame is empty"
