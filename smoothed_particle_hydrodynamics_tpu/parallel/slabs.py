@@ -372,7 +372,6 @@ def slab_step_body(cfg: SphConfig, ndev: int, p_cap: int, h_cap: int,
 
     ext = jnp.concatenate([from_left, fields_s, from_right], axis=0)
     cid_ext = jnp.concatenate([cid_left, cid_s, cid_right])
-    n_ext = ext.shape[0]
 
     # ---- candidate ranges + sweeps ---------------------------------------
     row_valid = ext[h_cap:h_cap + p_cap, _OID] >= 0.0
@@ -384,7 +383,8 @@ def slab_step_body(cfg: SphConfig, ndev: int, p_cap: int, h_cap: int,
         rho_l, nc_l = _pallas_density_local(cfg, ext, cid_ext, h_cap, p_cap)
         trunc = jnp.zeros((), jnp.int32)      # exact multi-chunk tails
     else:
-        rng_s, rng_e = _local_ranges(cfg, cid_ext, cid_s, row_valid, n_ext)
+        rng_s, rng_e = _local_ranges(cfg, cid_ext, cid_s, row_valid,
+                                     ext.shape[0])
         own_idx = h_cap + jnp.arange(p_cap, dtype=jnp.int32)
         pos_e, vel_e, mass_e = ext[:, _POS], ext[:, _VEL], ext[:, _MASS]
         rho_l, nc_l, trunc = celllist.density_rows(
@@ -443,9 +443,15 @@ def slab_step_body(cfg: SphConfig, ndev: int, p_cap: int, h_cap: int,
                   .astype(jnp.int32), 0, cfg.grid_nz - 1)
     dest = jnp.clip(zp // nzs, 0, ndev - 1)
     valid_n = new_fields[:, _OID] >= 0.0
-    go_left = valid_n & (dest < d)
-    go_right = valid_n & (dest > d)
+    # one-hop exchange only: a particle crossing MORE than one slab in a
+    # single step (>= nzs cell-planes of z drift — far beyond any CFL-sane
+    # velocity) cannot be routed without breaking the in-slab cid invariant
+    # the sort/halo machinery relies on; it is dropped AND counted.
+    go_left = valid_n & (dest == d - 1)
+    go_right = valid_n & (dest == d + 1)
     stay = valid_n & (dest == d)
+    too_far = valid_n & (jnp.abs(dest - d) > 1)
+    n_too_far = jnp.sum(too_far.astype(jnp.int32))
     # compact: stayers (key 0) | left-leavers (1) | right-leavers (2) | inert (3)
     key = jnp.where(stay, 0, jnp.where(go_left, 1, jnp.where(go_right, 2, 3)))
     key = key.astype(jnp.int32)
@@ -467,9 +473,10 @@ def slab_step_body(cfg: SphConfig, ndev: int, p_cap: int, h_cap: int,
         live = jnp.arange(m_cap, dtype=jnp.int32) < n_take
         return jnp.where(live[:, None], rows, inert_row)
 
-    # dropped = leavers beyond m_cap (counted, never silently relocated)
+    # dropped = leavers beyond m_cap + multi-slab hops (counted, never
+    # silently relocated)
     mig_dropped = (jnp.maximum(n_left - m_cap, 0)
-                   + jnp.maximum(n_right - m_cap, 0))
+                   + jnp.maximum(n_right - m_cap, 0) + n_too_far)
     out_left = take(n_stay, jnp.minimum(n_left, m_cap))
     out_right = take(n_stay + n_left, jnp.minimum(n_right, m_cap))
 

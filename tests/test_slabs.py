@@ -156,3 +156,22 @@ def test_slab_pallas_sweeps_match_celllist_sweeps():
     np.testing.assert_allclose(float(gd.neighbor_mean),
                                float(rd.neighbor_mean), rtol=1e-6)
     assert int(gd.migration_dropped) == 0
+
+
+def test_multi_slab_hop_is_dropped_and_counted():
+    """A particle moving more than one slab per step cannot be routed by the
+    one-hop exchange; it must be dropped and counted, never mis-binned."""
+    cfg, state = _scene(n=2048)
+    # ~2.5 slabs (5 cell-planes) of z drift per step — far beyond CFL sanity
+    vz = 5.0 * cfg.cell_size / cfg.dt * cfg.sim_scale
+    state = state._replace(velocity=state.velocity.at[:, 2].set(vz))
+    mesh = make_mesh(8)
+    p_cap, h_cap, m_cap = slabs.derive_slab_caps(cfg, state, 8, headroom=2.0)
+    carry = slabs.distribute(cfg, state, mesh, p_cap)
+    f = slabs.make_slab_step(cfg, mesh, p_cap, h_cap, m_cap, donate=False)
+    dropped = 0
+    for _ in range(3):
+        carry, diag = f(carry)
+        dropped += int(diag.migration_dropped)
+    assert dropped > 0, "multi-slab hops must be counted"
+    assert int(np.asarray(carry.count).sum()) + dropped == cfg.num_particles
