@@ -127,14 +127,18 @@ def cmd_run(args) -> int:
         if args.partition == "slab":
             # fully distributed engine: per-device local sort, halo windows,
             # fixed-capacity migration — O(N/D) memory (parallel/slabs.py)
-            from .parallel import (collect, derive_slab_caps, distribute,
-                                   make_slab_step)
+            from .parallel import (collect, derive_slab_caps, derive_zsplit,
+                                   distribute, make_slab_step)
 
-            p_cap, h_cap, m_cap = derive_slab_caps(cfg, state, args.devices)
-            slab_ctx = {"carry": distribute(cfg, state, mesh, p_cap)}
+            zsplit = derive_zsplit(cfg, state, args.devices)
+            p_cap, h_cap, m_cap = derive_slab_caps(cfg, state, args.devices,
+                                                   zsplit=zsplit)
+            slab_ctx = {"carry": distribute(cfg, state, mesh, p_cap,
+                                            zsplit=zsplit)}
 
             def make_run(run_cfg):
-                slab_step = make_slab_step(run_cfg, mesh, p_cap, h_cap, m_cap)
+                slab_step = make_slab_step(run_cfg, mesh, p_cap, h_cap, m_cap,
+                                           zsplit=zsplit)
 
                 def run(s, num_steps):
                     carry = slab_ctx["carry"]

@@ -7,10 +7,10 @@ ICI."""
 
 from .sharding import (derive_halo_rows, make_mesh, make_sharded_step,
                        shard_state, step_sharded, step_sharded_halo)
-from .slabs import (SlabCarry, collect, derive_slab_caps, distribute,
-                    make_slab_step)
+from .slabs import (SlabCarry, collect, derive_slab_caps, derive_zsplit,
+                    distribute, make_slab_step, uniform_zsplit)
 
 __all__ = ["derive_halo_rows", "make_mesh", "make_sharded_step",
            "shard_state", "step_sharded", "step_sharded_halo",
-           "SlabCarry", "collect", "derive_slab_caps", "distribute",
-           "make_slab_step"]
+           "SlabCarry", "collect", "derive_slab_caps", "derive_zsplit",
+           "distribute", "make_slab_step", "uniform_zsplit"]

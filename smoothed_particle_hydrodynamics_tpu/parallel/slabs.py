@@ -80,15 +80,52 @@ def _zplane(cfg: SphConfig, z: jnp.ndarray) -> jnp.ndarray:
     return jnp.clip(zp, 0, cfg.grid_nz - 1)
 
 
+def uniform_zsplit(cfg: SphConfig, ndev: int) -> tuple[int, ...]:
+    """Equal-VOLUME partition: ndev equal runs of z cell-planes."""
+    nzs = _nzs(cfg, ndev)
+    return tuple(range(0, cfg.grid_nz + 1, nzs))
+
+
+def derive_zsplit(cfg: SphConfig, state: ParticleState,
+                  ndev: int) -> tuple[int, ...]:
+    """Occupancy-WEIGHTED partition: contiguous plane runs of near-equal
+    particle count (each >= 2 planes).  Fixed equal-volume slabs carry a
+    ~2.2x load imbalance on mass-concentrated scenes (measured at 1M splash,
+    docs/PERFORMANCE.md); balancing by the initial histogram makes p_cap —
+    and per-device sweep work — O(N/D) with a small constant.  Drift away
+    from the initial distribution shows up as slab-capacity overflow in
+    ``migration_dropped`` long before physics goes wrong."""
+    import numpy as np
+
+    _nzs(cfg, ndev)
+    nz = cfg.grid_nz
+    zp = np.asarray(_zplane(cfg, state.position[:, 2]))
+    plane = np.bincount(zp, minlength=nz).astype(np.int64)
+    cum = np.cumsum(plane)
+    total = int(cum[-1])
+    splits = [0]
+    for k in range(1, ndev):
+        z = int(np.searchsorted(cum, total * k / ndev)) + 1
+        z = max(splits[-1] + 2, min(z, nz - 2 * (ndev - k)))
+        splits.append(z)
+    splits.append(nz)
+    return tuple(splits)
+
+
 def derive_slab_caps(cfg: SphConfig, state: ParticleState, ndev: int,
-                     headroom: float = 1.5) -> tuple[int, int, int]:
+                     headroom: float = 1.5,
+                     zsplit: tuple[int, ...] | None = None
+                     ) -> tuple[int, int, int]:
     """(p_cap, h_cap, m_cap) from the initial state's plane occupancy."""
     import numpy as np
 
-    nzs = _nzs(cfg, ndev)
+    _nzs(cfg, ndev)
+    if zsplit is None:
+        zsplit = uniform_zsplit(cfg, ndev)
     zp = np.asarray(_zplane(cfg, state.position[:, 2]))
     plane = np.bincount(zp, minlength=cfg.grid_nz).astype(np.int64)
-    slab = plane.reshape(ndev, nzs).sum(axis=1)
+    slab = np.asarray([plane[zsplit[d]:zsplit[d + 1]].sum()
+                       for d in range(ndev)])
     p_cap = int(max(slab.max(), 1) * headroom) + 64
     h_cap = int(max(plane.max(), 1) * headroom) + 64
     m_cap = max(h_cap // 2, 64)
@@ -98,15 +135,17 @@ def derive_slab_caps(cfg: SphConfig, state: ParticleState, ndev: int,
 
 
 def distribute(cfg: SphConfig, state: ParticleState, mesh: Mesh,
-               p_cap: int) -> SlabCarry:
+               p_cap: int, zsplit: tuple[int, ...] | None = None) -> SlabCarry:
     """Partition a host state into the sharded slab store."""
     import numpy as np
 
     ndev = math.prod(mesh.devices.shape)
-    nzs = _nzs(cfg, ndev)
+    _nzs(cfg, ndev)
+    if zsplit is None:
+        zsplit = uniform_zsplit(cfg, ndev)
     n = state.position.shape[0]
     zp = np.asarray(_zplane(cfg, state.position[:, 2]))
-    dest = np.clip(zp // nzs, 0, ndev - 1)
+    dest = np.clip(np.searchsorted(zsplit, zp, side="right") - 1, 0, ndev - 1)
 
     fields = np.zeros((ndev * p_cap, _NCOLS), np.float32)
     fields[:, 0:3] = _BIG
@@ -329,16 +368,16 @@ def _pallas_force_local(cfg: SphConfig, ext, cid_ext, rho_e, rho_l,
 
 
 def slab_step_body(cfg: SphConfig, ndev: int, p_cap: int, h_cap: int,
-                   m_cap: int, chunk: int, sweeps: str, fields: jnp.ndarray,
+                   m_cap: int, chunk: int, sweeps: str,
+                   zsplit: tuple[int, ...], fields: jnp.ndarray,
                    count: jnp.ndarray):
     """shard_map body: one full physics step on one device's slab."""
-    nzs = cfg.grid_nz // ndev
     nxny = cfg.grid_nx * cfg.grid_ny
     d = jax.lax.axis_index(_AXIS)
     cnt = count[0]
-    z0 = d * nzs
-    slab_lo = z0 * nxny                       # first own cell id
-    slab_hi = (z0 + nzs) * nxny               # one-past-last own cell id
+    zs = jnp.asarray(zsplit, jnp.int32)       # [D+1] plane split table
+    slab_lo = zs[d] * nxny                    # first own cell id
+    slab_hi = zs[d + 1] * nxny                # one-past-last own cell id
 
     # ---- local binning + sort --------------------------------------------
     fields_s, cid_s = _sort_local(cfg, fields, slab_hi)
@@ -441,7 +480,7 @@ def slab_step_body(cfg: SphConfig, ndev: int, p_cap: int, h_cap: int,
     # ---- migration --------------------------------------------------------
     zp = jnp.clip(jnp.floor(new_fields[:, 2] * _f32(cfg.inv_cell_size))
                   .astype(jnp.int32), 0, cfg.grid_nz - 1)
-    dest = jnp.clip(zp // nzs, 0, ndev - 1)
+    dest = jnp.clip(jnp.searchsorted(zs, zp, side="right") - 1, 0, ndev - 1)
     valid_n = new_fields[:, _OID] >= 0.0
     # one-hop exchange only: a particle crossing MORE than one slab in a
     # single step (>= nzs cell-planes of z drift — far beyond any CFL-sane
@@ -526,7 +565,8 @@ def slab_step_body(cfg: SphConfig, ndev: int, p_cap: int, h_cap: int,
 
 def make_slab_step(cfg: SphConfig, mesh: Mesh, p_cap: int, h_cap: int,
                    m_cap: int, chunk: int = 1024, donate: bool = True,
-                   sweeps: str = "celllist"
+                   sweeps: str = "celllist",
+                   zsplit: tuple[int, ...] | None = None
                    ) -> Callable[[SlabCarry], tuple[SlabCarry, StepDiagnostics]]:
     """Jitted fully-distributed step over ``mesh`` (see module docstring).
 
@@ -536,6 +576,15 @@ def make_slab_step(cfg: SphConfig, mesh: Mesh, p_cap: int, h_cap: int,
     portable XLA sweeps."""
     ndev = math.prod(mesh.devices.shape)
     _nzs(cfg, ndev)
+    if zsplit is None:
+        zsplit = uniform_zsplit(cfg, ndev)
+    zsplit = tuple(int(z) for z in zsplit)
+    if (len(zsplit) != ndev + 1 or zsplit[0] != 0
+            or zsplit[-1] != cfg.grid_nz
+            or any(b - a < 2 for a, b in zip(zsplit, zsplit[1:]))):
+        raise ValueError(f"invalid zsplit {zsplit}: need {ndev + 1} "
+                         "monotone entries spanning [0, grid_nz], >= 2 "
+                         "planes per device")
     if sweeps not in ("celllist", "pallas"):
         raise ValueError(f"unknown sweeps engine: {sweeps!r}")
     if sweeps == "pallas":
@@ -543,7 +592,7 @@ def make_slab_step(cfg: SphConfig, mesh: Mesh, p_cap: int, h_cap: int,
             raise ValueError("pallas sweeps need p_cap and h_cap % 128 == 0")
 
     body = partial(slab_step_body, cfg, ndev, p_cap, h_cap, m_cap, chunk,
-                   sweeps)
+                   sweeps, zsplit)
     sharded = jax.shard_map(
         body, mesh=mesh,
         in_specs=(P(_AXIS), P(_AXIS)),

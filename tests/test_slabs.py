@@ -175,3 +175,32 @@ def test_multi_slab_hop_is_dropped_and_counted():
         dropped += int(diag.migration_dropped)
     assert dropped > 0, "multi-slab hops must be counted"
     assert int(np.asarray(carry.count).sum()) + dropped == cfg.num_particles
+
+
+def test_balanced_zsplit_matches_and_shrinks_pcap():
+    """Occupancy-weighted plane partition: same physics as uniform slabs,
+    but the densest device's capacity (= memory and sweep work) drops on a
+    mass-concentrated scene."""
+    steps = 2
+    cfg, state = _scene()
+    mesh = make_mesh(8)
+
+    zsplit = slabs.derive_zsplit(cfg, state, 8)
+    assert zsplit[0] == 0 and zsplit[-1] == cfg.grid_nz
+    assert all(b - a >= 2 for a, b in zip(zsplit, zsplit[1:]))
+
+    p_u, _, _ = slabs.derive_slab_caps(cfg, state, 8)
+    p_b, h_b, m_b = slabs.derive_slab_caps(cfg, state, 8, zsplit=zsplit)
+    assert p_b <= p_u, "balanced partition must not need more capacity"
+
+    carry = slabs.distribute(cfg, state, mesh, p_b, zsplit=zsplit)
+    f = slabs.make_slab_step(cfg, mesh, p_b, h_b, m_b, donate=False,
+                             zsplit=zsplit)
+    for _ in range(steps):
+        carry, diag = f(carry)
+    got = slabs.collect(carry, cfg.num_particles)
+    ref, _ = _run_single(cfg, state, steps)
+    assert int(diag.migration_dropped) == 0
+    np.testing.assert_allclose(np.asarray(got.position),
+                               np.asarray(ref.position),
+                               rtol=1e-5, atol=1e-5)
