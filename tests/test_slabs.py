@@ -204,3 +204,24 @@ def test_balanced_zsplit_matches_and_shrinks_pcap():
     np.testing.assert_allclose(np.asarray(got.position),
                                np.asarray(ref.position),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_long_march_conservation():
+    """60 steps of a tall-velocity dam break: particles stream across many
+    slab boundaries; counts stay conserved, nothing drops, energies finite."""
+    cfg, state = _scene(n=2048)
+    vz = 0.25 * cfg.cell_size / cfg.dt * cfg.sim_scale
+    state = state._replace(velocity=state.velocity.at[:, 2].set(vz))
+    mesh = make_mesh(8)
+    zsplit = slabs.derive_zsplit(cfg, state, 8)
+    p_cap, h_cap, m_cap = slabs.derive_slab_caps(cfg, state, 8, headroom=3.0,
+                                                 zsplit=zsplit)
+    carry = slabs.distribute(cfg, state, mesh, p_cap, zsplit=zsplit)
+    f = slabs.make_slab_step(cfg, mesh, p_cap, h_cap, m_cap, donate=False,
+                             zsplit=zsplit)
+    for i in range(60):
+        carry, diag = f(carry)
+        if i % 20 == 19:
+            assert int(diag.migration_dropped) == 0, f"step {i}"
+            assert np.isfinite(float(diag.kinetic_energy)), f"step {i}"
+            assert int(np.asarray(carry.count).sum()) == cfg.num_particles
