@@ -310,9 +310,12 @@ def cmd_bench(args) -> int:
 
     _resolve_backend(args)
     overrides = _apply_overrides(args)
+    # like bench.py: the pallas production path benches through the lazy
+    # rebinning driver (the same code `run` executes)
+    lazy = args.backend == "pallas"
     result = run_benchmark(scene=args.scene, backend=args.backend,
                            steps=args.steps or 100, warmup=args.warmup,
-                           overrides=overrides)
+                           overrides=overrides, lazy=lazy)
     print(json.dumps(result))
     return 0
 
