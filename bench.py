@@ -37,7 +37,7 @@ def main() -> int:
     from smoothed_particle_hydrodynamics_tpu.utils.benchmark import (
         run_benchmark, run_parity_check)
 
-    # Production pallas path = lazy rebinning over a 1.5h-cell grid (the skin
+    # Production pallas path = lazy rebinning over a 1.25h-cell grid (the skin
     # that lets bins persist across steps; ops/lazy.py docstring for the bound).
     lazy = backend == "pallas"
     overrides = {"num_particles": args.num_particles}

@@ -310,9 +310,15 @@ def cmd_bench(args) -> int:
 
     _resolve_backend(args)
     overrides = _apply_overrides(args)
-    # like bench.py: the pallas production path benches through the lazy
-    # rebinning driver (the same code `run` executes)
-    lazy = args.backend == "pallas"
+    # like bench.py / cmd_run: the pallas production path benches through the
+    # lazy rebinning driver, but only where the driver is valid (same auto
+    # condition as cmd_run; --lazy / --no-lazy overrides)
+    lazy = args.lazy
+    if lazy is None:
+        probe = SphConfig().replace(**overrides)  # overrides are config fields
+        lazy = (args.backend == "pallas" and not probe.compat
+                and probe.pallas_layout == "sublane"
+                and probe.second_kick != "full")
     result = run_benchmark(scene=args.scene, backend=args.backend,
                            steps=args.steps or 100, warmup=args.warmup,
                            overrides=overrides, lazy=lazy)
@@ -423,6 +429,9 @@ def main(argv=None) -> int:
     _add_common(p)
     p.add_argument("--steps", type=int, default=None)
     p.add_argument("--warmup", type=int, default=10)
+    p.add_argument("--lazy", action=argparse.BooleanOptionalAction, default=None,
+                   help="lazy rebinning driver (default: auto — on for the "
+                        "sublane pallas backend in default mode)")
     p.set_defaults(fn=cmd_bench)
 
     p = sub.add_parser("render", help="render a saved state to PNG")

@@ -67,6 +67,19 @@ def kdk_integrate(cfg: SphConfig, state: ParticleState,
     return new_state, tally
 
 
+def angular_momentum_vec(cfg: SphConfig, pos: jnp.ndarray, vel: jnp.ndarray,
+                         mass: jnp.ndarray) -> jnp.ndarray:
+    """[3] vector L = sum_i m_i (r_i - c) x v_i about the central mass.
+
+    Exposed separately from :func:`energy_tally` because distributed callers
+    must ``psum`` the *vector* across shards before taking the norm — the sum
+    of per-shard |L| norms is not |sum L| (parallel/slabs.py does this).
+    """
+    center = jnp.asarray(cfg.central_pos, jnp.float32)
+    rel = (pos - center) * _f32(cfg.sim_scale)
+    return jnp.sum(mass[:, None] * jnp.cross(rel, vel), axis=0)
+
+
 def energy_tally(cfg: SphConfig, pos: jnp.ndarray, vel: jnp.ndarray,
                  mass: jnp.ndarray) -> EnergyTally:
     """KE/PE/|L| sums matching /root/reference/src/sph.cpp:997-1013."""
@@ -91,8 +104,7 @@ def energy_tally(cfg: SphConfig, pos: jnp.ndarray, vel: jnp.ndarray,
         # for detect_blowup instead of being silently zeroed.
         ke = jnp.sum(jnp.where(jnp.isfinite(v2), 0.5 * mass * v2, 0.0))
         pe = -jnp.sum(gm * mass / (dist + soft))
-        l_vec = jnp.sum(mass[:, None] * jnp.cross(rel, vel), axis=0)
-        ang = jnp.linalg.norm(l_vec)
+        ang = jnp.linalg.norm(angular_momentum_vec(cfg, pos, vel, mass))
     return EnergyTally(ke, pe, ang)
 
 

@@ -472,10 +472,20 @@ def slab_step_body(cfg: SphConfig, ndev: int, p_cap: int, h_cap: int,
                            .at[0, 0:3].set(_BIG).at[0, _OID].set(-1.0))
 
     # tallies: inert rows contribute mass 0 / vel 0 -> KE 0, but PE uses
-    # G*M*m/(r): mass 0 zeroes it; NaN-safety holds since positions finite
+    # G*M*m/(r): mass 0 zeroes it; NaN-safety holds since positions finite.
+    # |L| must psum the VECTOR before taking the norm (sum of per-shard norms
+    # is not the norm of the global sum); recompute L locally at the same
+    # post-kick point energy_tally uses and reduce it as a 3-vector.
     ke = jax.lax.psum(tally.kinetic, _AXIS)
     pe = jax.lax.psum(tally.potential, _AXIS)
-    am = jax.lax.psum(tally.angular_momentum, _AXIS)
+    if cfg.compat:
+        am = jnp.zeros((), jnp.float32)   # reference always logs 0 (quirk 8)
+    else:
+        from ..ops.integrate import angular_momentum_vec
+
+        l_vec = angular_momentum_vec(cfg, new_state.position,
+                                     new_state.velocity, new_state.mass)
+        am = jnp.linalg.norm(jax.lax.psum(l_vec, _AXIS))
 
     # ---- migration --------------------------------------------------------
     zp = jnp.clip(jnp.floor(new_fields[:, 2] * _f32(cfg.inv_cell_size))

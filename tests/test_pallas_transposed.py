@@ -1,20 +1,18 @@
 """Transposed (sublane-candidate) pallas layout — interpreter-mode coverage.
 
-The hardware path is blocked on a Mosaic DMA tiling constraint (see
-pallas_step_t module docstring); the kernel logic itself is exact and kept
-covered on CPU until the in-VMEM-transpose variant lands.
+The same kernels run compiled on TPU (Mosaic-verified on hardware since round
+2; bench.py records a pallas-vs-celllist parity block on every run).  CPU CI
+covers the kernel logic bit-for-bit in interpreter mode.
 """
 
 import numpy as np
+import pytest
 
 from smoothed_particle_hydrodynamics_tpu.models import make_scene
 from smoothed_particle_hydrodynamics_tpu.ops import pairwise, pallas_step_t
 
 
-def test_transposed_matches_oracle_interpret():
-    cfg, state = make_scene("disk", num_particles=1024,
-                            pallas_layout="sublane", pallas_interpret=True,
-                            pallas_window_t=192)
+def _check_against_oracle(cfg, state):
     rho_o = pairwise.compute_density(cfg, state)
     nc_o = pairwise.neighbor_counts(cfg, state)
     acc_t, rho_t, aux = pallas_step_t.compute_step_quantities(cfg, state)
@@ -24,3 +22,21 @@ def test_transposed_matches_oracle_interpret():
     acc_o = pairwise.compute_acceleration(cfg, state, rho_o)
     np.testing.assert_allclose(np.asarray(acc_t), np.asarray(acc_o),
                                rtol=1e-3, atol=1e-4)
+
+
+def test_transposed_matches_oracle_interpret():
+    cfg, state = make_scene("disk", num_particles=1024,
+                            pallas_layout="sublane", pallas_interpret=True,
+                            pallas_window_t=192)
+    _check_against_oracle(cfg, state)
+
+
+@pytest.mark.parametrize("groups", [1, 2, 4])
+def test_transposed_groups_match_oracle(groups):
+    """pallas_groups routes through its own window/merge/group-dot code paths
+    (_lane_group_masks, _merge_cols, per-group DMA in _sweep_body_t, masks4
+    group dots in the force kernel); every G must match the O(N^2) oracle."""
+    cfg, state = make_scene("disk", num_particles=512,
+                            pallas_layout="sublane", pallas_interpret=True,
+                            pallas_window_t=96, pallas_groups=groups)
+    _check_against_oracle(cfg, state)

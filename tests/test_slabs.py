@@ -58,6 +58,10 @@ def test_slab_step_matches_single_device():
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(float(diag.kinetic_energy),
                                float(ref_diag.kinetic_energy), rtol=1e-4)
+    # |L| must be the norm of the psum'd VECTOR, not the psum of per-shard
+    # norms (those differ by ~12% on this scene)
+    np.testing.assert_allclose(float(diag.angular_momentum),
+                               float(ref_diag.angular_momentum), rtol=1e-4)
     np.testing.assert_allclose(float(diag.neighbor_mean),
                                float(ref_diag.neighbor_mean), rtol=1e-5)
 
