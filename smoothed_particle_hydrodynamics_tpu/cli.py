@@ -44,8 +44,9 @@ def _resolve_backend(args) -> None:
     if getattr(args, "compat", False):
         args.backend = "compat"
         return
-    if getattr(args, "devices", 0) and args.devices > 1:
-        args.backend = "celllist"  # the sharded step runs the cell-list sweeps
+    if (getattr(args, "devices", 0) and args.devices > 1
+            and getattr(args, "partition", "halo") != "slab"):
+        args.backend = "celllist"  # the halo-sharded step runs cell-list sweeps
         return
     import jax
 
@@ -114,12 +115,19 @@ def cmd_run(args) -> int:
     from functools import partial
 
     if args.devices and args.devices > 1:
-        # the sharded path always runs the cell-list sweeps; honouring another
-        # backend silently would run something the user didn't ask for
-        if args.backend != "celllist":
+        # slab partition: production pallas sweeps run INSIDE each shard
+        # (same sublane kernels as single-chip); halo partition only has the
+        # cell-list sweeps — honouring another backend silently would run
+        # something the user didn't ask for
+        if args.partition == "slab":
+            if args.backend not in ("celllist", "pallas"):
+                raise SystemExit(
+                    f"--devices {args.devices} --partition slab supports "
+                    f"--backend celllist or pallas, not {args.backend}")
+        elif args.backend != "celllist":
             raise SystemExit(
-                f"--devices {args.devices} uses the sharded cell-list step; "
-                f"--backend {args.backend} is not available multi-device")
+                f"--devices {args.devices} --partition halo uses the sharded "
+                f"cell-list step; --backend {args.backend} is not available")
         from .parallel import make_mesh
 
         mesh = make_mesh(args.devices)
@@ -130,6 +138,9 @@ def cmd_run(args) -> int:
             from .parallel import (collect, derive_slab_caps, derive_zsplit,
                                    distribute, make_slab_step)
 
+            # (pallas_window_t == 0 was already derived above for backend
+            # "pallas", before the devices branch)
+            slab_sweeps = "pallas" if args.backend == "pallas" else "celllist"
             zsplit = derive_zsplit(cfg, state, args.devices)
             p_cap, h_cap, m_cap = derive_slab_caps(cfg, state, args.devices,
                                                    zsplit=zsplit)
@@ -138,7 +149,7 @@ def cmd_run(args) -> int:
 
             def make_run(run_cfg):
                 slab_step = make_slab_step(run_cfg, mesh, p_cap, h_cap, m_cap,
-                                           zsplit=zsplit)
+                                           zsplit=zsplit, sweeps=slab_sweeps)
 
                 def run(s, num_steps):
                     carry = slab_ctx["carry"]

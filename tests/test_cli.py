@@ -89,3 +89,24 @@ def test_run_multidevice_slab(tmp_path):
                "--set", "grid_nz=16", "--quiet"])
     assert rc == 0
     assert os.path.exists(f"{out}/energy.txt")
+
+
+def test_run_multidevice_slab_pallas(tmp_path):
+    """--partition slab honours --backend pallas: the production sublane
+    kernels run inside each shard (interpret mode on the CPU mesh)."""
+    out = str(tmp_path / "outslabp")
+    rc = main(["run", "--scene", "dam_break", "-n", "2048", "--steps", "2",
+               "--block", "2", "--out", out, "--devices", "8",
+               "--partition", "slab", "--backend", "pallas",
+               "--set", "grid_nx=16", "--set", "grid_ny=16",
+               "--set", "grid_nz=16", "--set", "pallas_interpret=true",
+               "--set", "pallas_window_t=64", "--quiet"])
+    assert rc == 0
+    assert os.path.exists(f"{out}/energy.txt")
+
+
+def test_run_multidevice_halo_rejects_pallas(tmp_path):
+    with pytest.raises(SystemExit):
+        main(["run", "--scene", "dam_break", "-n", "2048", "--steps", "2",
+              "--devices", "8", "--partition", "halo", "--backend", "pallas",
+              "--quiet"])
