@@ -114,6 +114,8 @@ def cmd_run(args) -> int:
 
     from functools import partial
 
+    post_block = None  # slab partition installs a rebalance hook
+
     if args.devices and args.devices > 1:
         # slab partition: production pallas sweeps run INSIDE each shard
         # (same sublane kernels as single-chip); halo partition only has the
@@ -137,19 +139,21 @@ def cmd_run(args) -> int:
             # fixed-capacity migration — O(N/D) memory (parallel/slabs.py)
             from .parallel import (collect, derive_slab_caps, derive_zsplit,
                                    distribute, make_slab_step)
+            from .parallel.slabs import maybe_rebalance
 
             # (pallas_window_t == 0 was already derived above for backend
             # "pallas", before the devices branch)
             slab_sweeps = "pallas" if args.backend == "pallas" else "celllist"
             zsplit = derive_zsplit(cfg, state, args.devices)
-            p_cap, h_cap, m_cap = derive_slab_caps(cfg, state, args.devices,
-                                                   zsplit=zsplit)
-            slab_ctx = {"carry": distribute(cfg, state, mesh, p_cap,
-                                            zsplit=zsplit)}
+            caps = derive_slab_caps(cfg, state, args.devices, zsplit=zsplit)
+            slab_ctx = {"carry": distribute(cfg, state, mesh, caps[0],
+                                            zsplit=zsplit),
+                        "zsplit": zsplit, "caps": caps}
 
             def make_run(run_cfg):
-                slab_step = make_slab_step(run_cfg, mesh, p_cap, h_cap, m_cap,
-                                           zsplit=zsplit, sweeps=slab_sweeps)
+                slab_step = make_slab_step(run_cfg, mesh, *slab_ctx["caps"],
+                                           zsplit=slab_ctx["zsplit"],
+                                           sweeps=slab_sweeps)
 
                 def run(s, num_steps):
                     carry = slab_ctx["carry"]
@@ -161,6 +165,21 @@ def cmd_run(args) -> int:
                     return (collect(carry, run_cfg.num_particles),
                             jax.tree.map(lambda *xs: jnp.stack(xs), *diags))
                 return run
+
+            def post_block(run_cfg):
+                # dynamic re-partition: the t=0 zsplit goes stale when mass
+                # re-concentrates; re-derive it from the CURRENT histogram at
+                # block boundaries (host-side, recompiles like --apply)
+                if not args.rebalance_threshold:
+                    return None
+                carry2, zs2, caps2, changed = maybe_rebalance(
+                    run_cfg, mesh, slab_ctx["carry"], run_cfg.num_particles,
+                    threshold=args.rebalance_threshold)
+                if not changed:
+                    return None
+                slab_ctx.update(carry=carry2, zsplit=zs2, caps=caps2)
+                print(f"rebalanced slabs: p_cap={caps2[0]} zsplit={zs2}")
+                return make_run(run_cfg)
         else:
             from .parallel import make_sharded_step
             from .parallel.sharding import shard_state
@@ -290,6 +309,10 @@ def cmd_run(args) -> int:
                 print(f"WARNING at step {done + nblock}: {what} — "
                       "interactions are being dropped", file=sys.stderr)
             done += nblock
+            if post_block is not None and done < total:
+                new_run = post_block(cfg)
+                if new_run is not None:
+                    run = new_run
             if interrupted["flag"]:
                 p = ckpt_io.save_checkpoint(args.checkpoint_dir, done, cfg, state)
                 print(f"interrupted at step {done}; checkpoint saved to {p}")
@@ -415,6 +438,10 @@ def main(argv=None) -> int:
     p.add_argument("--render-every", type=int, default=10)
     p.add_argument("--devices", type=int, default=0,
                    help="run sharded over the first N devices (0 = single)")
+    p.add_argument("--rebalance-threshold", type=float, default=1.5,
+                   help="slab partition: re-derive the z-split at block "
+                        "boundaries when per-device load imbalance (max/mean "
+                        "count) exceeds this ratio; 0 disables")
     p.add_argument("--partition", default="halo", choices=["halo", "slab"],
                    help="multi-device decomposition: 'halo' = sharded rows + "
                         "ppermute edge exchange (replicated binning); 'slab' = "

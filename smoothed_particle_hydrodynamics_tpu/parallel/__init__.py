@@ -7,10 +7,12 @@ ICI."""
 
 from .sharding import (derive_halo_rows, make_mesh, make_sharded_step,
                        shard_state, step_sharded, step_sharded_halo)
-from .slabs import (SlabCarry, collect, derive_slab_caps, derive_zsplit,
-                    distribute, make_slab_step, uniform_zsplit)
+from .slabs import (LazySlabCarry, SlabCarry, collect, derive_slab_caps,
+                    derive_zsplit, distribute, init_lazy_slab, make_slab_step,
+                    uniform_zsplit)
 
 __all__ = ["derive_halo_rows", "make_mesh", "make_sharded_step",
            "shard_state", "step_sharded", "step_sharded_halo",
-           "SlabCarry", "collect", "derive_slab_caps", "derive_zsplit",
-           "distribute", "make_slab_step", "uniform_zsplit"]
+           "LazySlabCarry", "SlabCarry", "collect", "derive_slab_caps",
+           "derive_zsplit", "distribute", "init_lazy_slab", "make_slab_step",
+           "uniform_zsplit"]

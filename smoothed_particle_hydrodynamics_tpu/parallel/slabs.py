@@ -262,16 +262,38 @@ def _perm(ndev: int, shift: int):
     return [(d, (d + shift) % ndev) for d in range(ndev)]
 
 
-def _pallas_density_local(cfg: SphConfig, ext, cid_ext, h_cap: int,
+def _pallas_ext_pad(cfg: SphConfig, h_cap: int, p_cap: int) -> int:
+    """Static padded length of the extended candidate array."""
+    from ..ops import pallas_step_t as pt
+
+    return pt._round_up(p_cap + 2 * h_cap + cfg.pallas_window_t, pt.LANE)
+
+
+def _pallas_tables(cfg: SphConfig, cid_loc, cid_ext, h_cap: int, p_cap: int):
+    """Frozen per-(block, group, rod) window tables for the pallas sweeps.
+
+    Built once per rebin (they only depend on the sorted cell ids, which are
+    frozen between rebins); reused by both sweeps every step."""
+    from ..ops import pallas_step_t as pt
+
+    nblocks = p_cap // pt.BLANE
+    ws, wc = pt._block_windows_t(cfg, cid_loc, nblocks, cfg.pallas_window_t,
+                                 p_cap, _pallas_ext_pad(cfg, h_cap, p_cap),
+                                 cid_search=cid_ext)
+    return ws.reshape(-1), wc.reshape(-1)
+
+
+def _pallas_density_local(cfg: SphConfig, ext, cid_ext, ws, wc, h_cap: int,
                           p_cap: int):
     """Density over local rows with the production sublane pallas kernel.
 
     Same kernel as the single-chip path (``ops.pallas_step_t``): the extended
-    [halo | local | halo] rows become the candidate field array, windows are
-    built per local 128-lane block searching the extended cids, and ``own``
-    indices are offset by the halo so self-exclusion works in the extended
-    frame.  Out-of-grid sentinel cids only add inert rows at the array ends
-    (clipped in the histogram, rejected by the in-kernel cid mask).
+    [halo | local | halo] rows become the candidate field array, windows
+    (``ws``/``wc``, frozen per rebin) are per local 128-lane block searching
+    the extended cids, and ``own`` indices are offset by the halo so
+    self-exclusion works in the extended frame.  Out-of-grid sentinel cids
+    only add inert rows at the array ends (clipped in the histogram, rejected
+    by the in-kernel cid mask).
     """
     from functools import partial as _partial
 
@@ -281,7 +303,7 @@ def _pallas_density_local(cfg: SphConfig, ext, cid_ext, h_cap: int,
 
     s_t = cfg.pallas_window_t
     e = ext.shape[0]
-    e_pad = pt._round_up(e + s_t, pt.LANE)
+    e_pad = _pallas_ext_pad(cfg, h_cap, p_cap)
     nblocks = p_cap // pt.BLANE
     cid_f = cid_ext.astype(jnp.float32)
     cand = jnp.concatenate(
@@ -293,9 +315,6 @@ def _pallas_density_local(cfg: SphConfig, ext, cid_ext, h_cap: int,
     selfrows = jnp.concatenate(
         [ext[loc, 0:3], ext[loc, _MASS:_MASS + 1], cid_f[loc][:, None]],
         axis=1).T
-    ws, wc = pt._block_windows_t(cfg, cid_ext[loc], nblocks, s_t, p_cap,
-                                 e_pad, cid_search=cid_ext)
-    ws, wc = ws.reshape(-1), wc.reshape(-1)
     first = jnp.arange(nblocks, dtype=jnp.int32) * pt.BLANE + h_cap
     ref = ext[first, 0:3].reshape(-1)
     out_specs = (
@@ -315,7 +334,7 @@ def _pallas_density_local(cfg: SphConfig, ext, cid_ext, h_cap: int,
     return rho.reshape(p_cap), nc.reshape(p_cap)
 
 
-def _pallas_force_local(cfg: SphConfig, ext, cid_ext, rho_e, rho_l,
+def _pallas_force_local(cfg: SphConfig, ext, cid_ext, rho_e, rho_l, ws, wc,
                         h_cap: int, p_cap: int):
     """Hydro acceleration over local rows with the production pallas kernel."""
     from functools import partial as _partial
@@ -327,7 +346,7 @@ def _pallas_force_local(cfg: SphConfig, ext, cid_ext, rho_e, rho_l,
 
     s_t = cfg.pallas_window_t
     e = ext.shape[0]
-    e_pad = pt._round_up(e + s_t, pt.LANE)
+    e_pad = _pallas_ext_pad(cfg, h_cap, p_cap)
     nblocks = p_cap // pt.BLANE
     cid_f = cid_ext.astype(jnp.float32)
     mass_e = ext[:, _MASS]
@@ -346,9 +365,6 @@ def _pallas_force_local(cfg: SphConfig, ext, cid_ext, rho_e, rho_l,
     selfrows = jnp.concatenate(
         [ext[loc, 0:3], ext[loc, 3:6], ext[loc, _MASS:_MASS + 1],
          rho_l[:, None], cid_f[loc][:, None]], axis=1).T
-    ws, wc = pt._block_windows_t(cfg, cid_ext[loc], nblocks, s_t, p_cap,
-                                 e_pad, cid_search=cid_ext)
-    ws, wc = ws.reshape(-1), wc.reshape(-1)
     first = jnp.arange(nblocks, dtype=jnp.int32) * pt.BLANE + h_cap
     ref = ext[first, 0:3].reshape(-1)
     acc_rows = pl.pallas_call(
@@ -367,26 +383,153 @@ def _pallas_force_local(cfg: SphConfig, ext, cid_ext, rho_e, rho_l,
     return physics.cfl_clamp(cfg, acc)
 
 
+class LazySlabCarry(NamedTuple):
+    """Slab store + frozen binning structure (lazy rebinning).
+
+    Between rebins the row ORDER of ``fields`` is frozen (sorted by bin-time
+    cell id); only the values evolve.  ``pos_bin``/``cid``/``tab_a``/``tab_b``
+    are the frozen structure, rebuilt when the global max drift exceeds the
+    (cell - h)/2 skin — the same invariant as the single-chip lazy driver
+    (``ops.lazy`` module docstring).  Migration runs only at rebins: the skin
+    bound means a boundary-crosser is < one cell-plane deep into its new slab
+    when the rebin fires, so the one-hop exchange still suffices.
+    """
+
+    fields: jnp.ndarray       # [D*p_cap, 8] f32, bin-time sorted order
+    count: jnp.ndarray        # [D] i32 valid rows per device
+    pos_bin: jnp.ndarray      # [D*p_cap, 3] positions at bin time
+    cid: jnp.ndarray          # [D*p_cap] i32 frozen sorted cell ids
+    tab_a: jnp.ndarray        # frozen tables: pallas ws / celllist rng_s
+    tab_b: jnp.ndarray        # frozen tables: pallas wc / celllist rng_e
+    steps_since: jnp.ndarray  # [D] i32, -1 = initial build pending
+    rebin_count: jnp.ndarray  # [D] i32 total rebins so far
+
+
 def slab_step_body(cfg: SphConfig, ndev: int, p_cap: int, h_cap: int,
                    m_cap: int, chunk: int, sweeps: str,
-                   zsplit: tuple[int, ...], fields: jnp.ndarray,
-                   count: jnp.ndarray):
-    """shard_map body: one full physics step on one device's slab."""
+                   zsplit: tuple[int, ...], lazy: bool,
+                   fields: jnp.ndarray, count: jnp.ndarray,
+                   pos_bin: jnp.ndarray, cid_frozen: jnp.ndarray,
+                   tab_a: jnp.ndarray, tab_b: jnp.ndarray,
+                   steps_since: jnp.ndarray, rebin_count: jnp.ndarray):
+    """shard_map body: one full physics step on one device's slab.
+
+    Collectives (migration/halo/rho ppermutes, diagnostic psums) execute
+    UNCONDITIONALLY so the SPMD program stays uniform; only the local
+    rebuild work (compaction sort, bin sort, window tables) sits inside
+    ``lax.cond`` branches.  The rebin predicate is a ``pmax`` so every
+    device takes the same branch.
+    """
+    from ..ops.lazy import skin_half
+
     nxny = cfg.grid_nx * cfg.grid_ny
     d = jax.lax.axis_index(_AXIS)
     cnt = count[0]
     zs = jnp.asarray(zsplit, jnp.int32)       # [D+1] plane split table
     slab_lo = zs[d] * nxny                    # first own cell id
     slab_hi = zs[d + 1] * nxny                # one-past-last own cell id
+    inert_row = jnp.zeros((1, _NCOLS), jnp.float32) \
+        .at[0, 0:3].set(_BIG).at[0, _OID].set(-1.0)
+    inert_m = jnp.broadcast_to(inert_row, (m_cap, _NCOLS))
 
-    # ---- local binning + sort --------------------------------------------
-    fields_s, cid_s = _sort_local(cfg, fields, slab_hi)
+    # ---- rebin decision (globally uniform) --------------------------------
+    valid0 = fields[:, _OID] >= 0.0
+    drift = jnp.max(jnp.where(valid0[:, None],
+                              jnp.abs(fields[:, 0:3] - pos_bin), 0.0))
+    need_l = (steps_since[0] < 0) | (drift > _f32(skin_half(cfg)))
+    if not lazy:
+        need_l = need_l | True
+    need = jax.lax.pmax(need_l.astype(jnp.int32), _AXIS) > 0
 
-    # ---- halo exchange (one cell plane each way) -------------------------
+    # ---- migration (rebins only; sends are inert otherwise) ---------------
+    # one-hop exchange only: with the skin bound a crosser is < one cell
+    # deep; anything farther (blow-up velocities) is dropped AND counted.
+    def pack(f):
+        valid_f = f[:, _OID] >= 0.0
+        zp = jnp.clip(jnp.floor(f[:, 2] * _f32(cfg.inv_cell_size))
+                      .astype(jnp.int32), 0, cfg.grid_nz - 1)
+        dest = jnp.clip(jnp.searchsorted(zs, zp, side="right") - 1,
+                        0, ndev - 1)
+        go_left = valid_f & (dest == d - 1)
+        go_right = valid_f & (dest == d + 1)
+        stay = valid_f & (dest == d)
+        too_far = valid_f & (jnp.abs(dest - d) > 1)
+        # compact: stayers (0) | left (1) | right (2) | inert (3)
+        key = jnp.where(stay, 0, jnp.where(go_left, 1,
+                                           jnp.where(go_right, 2, 3)))
+        _, perm2 = jax.lax.sort(
+            (key.astype(jnp.int32), jnp.arange(p_cap, dtype=jnp.int32)),
+            num_keys=1)
+        packed_f = f[perm2]
+        n_stay = jnp.sum(stay.astype(jnp.int32))
+        n_left = jnp.sum(go_left.astype(jnp.int32))
+        n_right = jnp.sum(go_right.astype(jnp.int32))
+        n_too_far = jnp.sum(too_far.astype(jnp.int32))
+        # pad so take()'s dynamic start (<= p_cap) never clamps into stayers
+        packed_pad = jnp.concatenate([packed_f, inert_m], axis=0)
+
+        def take(start, n_take):
+            rows = jax.lax.dynamic_slice_in_dim(packed_pad, start, m_cap)
+            live = jnp.arange(m_cap, dtype=jnp.int32) < n_take
+            return jnp.where(live[:, None], rows, inert_row)
+
+        dropped = (jnp.maximum(n_left - m_cap, 0)
+                   + jnp.maximum(n_right - m_cap, 0) + n_too_far)
+        out_l = take(n_stay, jnp.minimum(n_left, m_cap))
+        out_r = take(n_stay + n_left, jnp.minimum(n_right, m_cap))
+        return packed_f, n_stay, out_l, out_r, dropped
+
+    def nopack(f):
+        return f, cnt, inert_m, inert_m, jnp.zeros((), jnp.int32)
+
+    packed, n_stay, out_left, out_right, mig_dropped = jax.lax.cond(
+        need, pack, nopack, fields)
+
+    in_from_right = jax.lax.ppermute(out_left, _AXIS, _perm(ndev, -1))
+    in_from_left = jax.lax.ppermute(out_right, _AXIS, _perm(ndev, 1))
+    in_from_right = jnp.where(d == ndev - 1, inert_m, in_from_right)
+    in_from_left = jnp.where(d == 0, inert_m, in_from_left)
+    n_in_l = jnp.sum(in_from_left[:, _OID] >= 0.0).astype(jnp.int32)
+    n_in_r = jnp.sum(in_from_right[:, _OID] >= 0.0).astype(jnp.int32)
+
+    def merge(args):
+        packed_f, arr_l, arr_r = args
+        base = jnp.zeros((p_cap + 2 * m_cap, _NCOLS), jnp.float32) \
+            .at[:, 0:3].set(_BIG).at[:, _OID].set(-1.0)
+        live_stay = jnp.arange(p_cap, dtype=jnp.int32) < n_stay
+        base = base.at[0:p_cap].set(
+            jnp.where(live_stay[:, None], packed_f, inert_row))
+        base = jax.lax.dynamic_update_slice_in_dim(base, arr_l, n_stay, axis=0)
+        base = jax.lax.dynamic_update_slice_in_dim(
+            base, arr_r, n_stay + n_in_l, axis=0)
+        new_count = n_stay + n_in_l + n_in_r
+        overflow = jnp.maximum(new_count - p_cap, 0)
+        return base[0:p_cap], jnp.minimum(new_count, p_cap), overflow
+
+    def nomerge(args):
+        return fields, cnt, jnp.zeros((), jnp.int32)
+
+    merged, cnt2, overflow = jax.lax.cond(
+        need, merge, nomerge, (packed, in_from_left, in_from_right))
+
+    # ---- local binning + sort (rebins only; order frozen otherwise) -------
+    def resort(m):
+        f_s, c_s = _sort_local(cfg, m, slab_hi)
+        return f_s, c_s, f_s[:, 0:3]
+
+    def keep(m):
+        return m, cid_frozen, pos_bin
+
+    fields_s, cid_s, pos_bin2 = jax.lax.cond(need, resort, keep, merged)
+
+    # ---- halo exchange (every step: values move, structure is frozen) -----
+    # When not rebinning, cnt2 and cid_s are frozen, so the window starts and
+    # exchanged cids re-derive the exact frozen structure; only the VALUES
+    # (positions/velocities) the receiver sees are fresh — which is the point.
     send_up, cid_up = _edge_window(        # my top plane, for right neighbor
-        fields_s, cid_s, cnt, h_cap, tail=True)
+        fields_s, cid_s, cnt2, h_cap, tail=True)
     send_dn, cid_dn = _edge_window(        # my bottom plane, for left neighbor
-        fields_s, cid_s, cnt, h_cap, tail=False)
+        fields_s, cid_s, cnt2, h_cap, tail=False)
     # an undersized halo window misses plane rows: COUNT them (valid rows in
     # an edge plane minus those the fixed window could carry)
     valid_s = fields_s[:, _OID] >= 0.0
@@ -400,30 +543,42 @@ def slab_step_body(cfg: SphConfig, ndev: int, p_cap: int, h_cap: int,
     from_right = jax.lax.ppermute(send_dn, _AXIS, _perm(ndev, -1))
     cid_right = jax.lax.ppermute(cid_dn, _AXIS, _perm(ndev, -1))
     # chain ends: no wrap-around space
-    inert = jnp.zeros((h_cap, _NCOLS), jnp.float32).at[:, 0:3].set(_BIG)
-    inert = inert.at[:, _OID].set(-1.0)
+    inert_h = jnp.zeros((h_cap, _NCOLS), jnp.float32).at[:, 0:3].set(_BIG)
+    inert_h = inert_h.at[:, _OID].set(-1.0)
     # chain-end sentinel cids sit OUTSIDE every queryable cell ([-1] below,
     # [num_cells] above) so inert rows can never inflate a real cell's range
-    from_left = jnp.where(d == 0, inert, from_left)
+    from_left = jnp.where(d == 0, inert_h, from_left)
     cid_left = jnp.where(d == 0, -1, cid_left)
-    from_right = jnp.where(d == ndev - 1, inert, from_right)
+    from_right = jnp.where(d == ndev - 1, inert_h, from_right)
     cid_right = jnp.where(d == ndev - 1, cfg.num_cells, cid_right)
 
     ext = jnp.concatenate([from_left, fields_s, from_right], axis=0)
     cid_ext = jnp.concatenate([cid_left, cid_s, cid_right])
 
-    # ---- candidate ranges + sweeps ---------------------------------------
+    # ---- frozen window tables (rebins only) --------------------------------
     row_valid = ext[h_cap:h_cap + p_cap, _OID] >= 0.0
+    if sweeps == "pallas":
+        def build_tabs(_):
+            return _pallas_tables(cfg, cid_s, cid_ext, h_cap, p_cap)
+    else:
+        def build_tabs(_):
+            return _local_ranges(cfg, cid_ext, cid_s, row_valid,
+                                 ext.shape[0])
+
+    tab_a2, tab_b2 = jax.lax.cond(
+        need, build_tabs, lambda _: (tab_a, tab_b), None)
+
+    # ---- sweeps ------------------------------------------------------------
     pos_i = fields_s[:, _POS]
     vel_i = fields_s[:, _VEL]
     mass_i = fields_s[:, _MASS]
 
     if sweeps == "pallas":
-        rho_l, nc_l = _pallas_density_local(cfg, ext, cid_ext, h_cap, p_cap)
+        rho_l, nc_l = _pallas_density_local(cfg, ext, cid_ext, tab_a2, tab_b2,
+                                            h_cap, p_cap)
         trunc = jnp.zeros((), jnp.int32)      # exact multi-chunk tails
     else:
-        rng_s, rng_e = _local_ranges(cfg, cid_ext, cid_s, row_valid,
-                                     ext.shape[0])
+        rng_s, rng_e = tab_a2, tab_b2
         own_idx = h_cap + jnp.arange(p_cap, dtype=jnp.int32)
         pos_e, vel_e, mass_e = ext[:, _POS], ext[:, _VEL], ext[:, _MASS]
         rho_l, nc_l, trunc = celllist.density_rows(
@@ -431,7 +586,8 @@ def slab_step_body(cfg: SphConfig, ndev: int, p_cap: int, h_cap: int,
             chunk=min(chunk, p_cap))
 
     # force needs halo densities: exchange rho for the same edge windows
-    rho_up = jax.lax.dynamic_slice_in_dim(rho_l, jnp.maximum(cnt - h_cap, 0), h_cap)
+    rho_up = jax.lax.dynamic_slice_in_dim(rho_l, jnp.maximum(cnt2 - h_cap, 0),
+                                          h_cap)
     rho_dn = jax.lax.dynamic_slice_in_dim(rho_l, 0, h_cap)
     rho_left = jax.lax.ppermute(rho_up, _AXIS, _perm(ndev, 1))
     rho_right = jax.lax.ppermute(rho_dn, _AXIS, _perm(ndev, -1))
@@ -441,7 +597,7 @@ def slab_step_body(cfg: SphConfig, ndev: int, p_cap: int, h_cap: int,
 
     if sweeps == "pallas":
         acc_l = _pallas_force_local(cfg, ext, cid_ext, rho_e, rho_l,
-                                    h_cap, p_cap)
+                                    tab_a2, tab_b2, h_cap, p_cap)
     else:
         acc_l = celllist.force_rows(
             cfg, pos_e, vel_e, mass_e, rho_e, rng_s, rng_e, own_idx,
@@ -467,9 +623,7 @@ def slab_step_body(cfg: SphConfig, ndev: int, p_cap: int, h_cap: int,
     new_fields = jnp.concatenate(
         [new_state.position, new_state.velocity,
          mass_i[:, None], fields_s[:, _OID:_OID + 1]], axis=1)
-    new_fields = jnp.where(row_valid[:, None], new_fields,
-                           jnp.zeros((1, _NCOLS), jnp.float32)
-                           .at[0, 0:3].set(_BIG).at[0, _OID].set(-1.0))
+    new_fields = jnp.where(row_valid[:, None], new_fields, inert_row)
 
     # tallies: inert rows contribute mass 0 / vel 0 -> KE 0, but PE uses
     # G*M*m/(r): mass 0 zeroes it; NaN-safety holds since positions finite.
@@ -487,74 +641,8 @@ def slab_step_body(cfg: SphConfig, ndev: int, p_cap: int, h_cap: int,
                                      new_state.velocity, new_state.mass)
         am = jnp.linalg.norm(jax.lax.psum(l_vec, _AXIS))
 
-    # ---- migration --------------------------------------------------------
-    zp = jnp.clip(jnp.floor(new_fields[:, 2] * _f32(cfg.inv_cell_size))
-                  .astype(jnp.int32), 0, cfg.grid_nz - 1)
-    dest = jnp.clip(jnp.searchsorted(zs, zp, side="right") - 1, 0, ndev - 1)
-    valid_n = new_fields[:, _OID] >= 0.0
-    # one-hop exchange only: a particle crossing MORE than one slab in a
-    # single step (>= nzs cell-planes of z drift — far beyond any CFL-sane
-    # velocity) cannot be routed without breaking the in-slab cid invariant
-    # the sort/halo machinery relies on; it is dropped AND counted.
-    go_left = valid_n & (dest == d - 1)
-    go_right = valid_n & (dest == d + 1)
-    stay = valid_n & (dest == d)
-    too_far = valid_n & (jnp.abs(dest - d) > 1)
-    n_too_far = jnp.sum(too_far.astype(jnp.int32))
-    # compact: stayers (key 0) | left-leavers (1) | right-leavers (2) | inert (3)
-    key = jnp.where(stay, 0, jnp.where(go_left, 1, jnp.where(go_right, 2, 3)))
-    key = key.astype(jnp.int32)
-    _, perm2 = jax.lax.sort(
-        (key, jnp.arange(p_cap, dtype=jnp.int32)), num_keys=1)
-    packed = new_fields[perm2]
-    n_stay = jnp.sum(stay.astype(jnp.int32))
-    n_left = jnp.sum(go_left.astype(jnp.int32))
-    n_right = jnp.sum(go_right.astype(jnp.int32))
-
-    # pad so take()'s dynamic start (<= p_cap) never clamps into stayer rows
-    inert_row = jnp.zeros((1, _NCOLS), jnp.float32) \
-        .at[0, 0:3].set(_BIG).at[0, _OID].set(-1.0)
-    packed_pad = jnp.concatenate(
-        [packed, jnp.broadcast_to(inert_row, (m_cap, _NCOLS))], axis=0)
-
-    def take(start, n_take):
-        rows = jax.lax.dynamic_slice_in_dim(packed_pad, start, m_cap)
-        live = jnp.arange(m_cap, dtype=jnp.int32) < n_take
-        return jnp.where(live[:, None], rows, inert_row)
-
-    # dropped = leavers beyond m_cap + multi-slab hops (counted, never
-    # silently relocated)
-    mig_dropped = (jnp.maximum(n_left - m_cap, 0)
-                   + jnp.maximum(n_right - m_cap, 0) + n_too_far)
-    out_left = take(n_stay, jnp.minimum(n_left, m_cap))
-    out_right = take(n_stay + n_left, jnp.minimum(n_right, m_cap))
-
-    in_from_right = jax.lax.ppermute(out_left, _AXIS, _perm(ndev, -1))
-    in_from_left = jax.lax.ppermute(out_right, _AXIS, _perm(ndev, 1))
-    inert_m = jnp.zeros((m_cap, _NCOLS), jnp.float32) \
-        .at[:, 0:3].set(_BIG).at[:, _OID].set(-1.0)
-    in_from_right = jnp.where(d == ndev - 1, inert_m, in_from_right)
-    in_from_left = jnp.where(d == 0, inert_m, in_from_left)
-    n_in_l = jnp.sum(in_from_left[:, _OID] >= 0.0).astype(jnp.int32)
-    n_in_r = jnp.sum(in_from_right[:, _OID] >= 0.0).astype(jnp.int32)
-
-    # rebuild local store: stayers then arrivals, inert tail
-    base = jnp.zeros((p_cap + 2 * m_cap, _NCOLS), jnp.float32) \
-        .at[:, 0:3].set(_BIG).at[:, _OID].set(-1.0)
-    live_stay = jnp.arange(p_cap, dtype=jnp.int32) < n_stay
-    base = base.at[0:p_cap].set(
-        jnp.where(live_stay[:, None], packed,
-                  jnp.zeros((1, _NCOLS), jnp.float32)
-                  .at[0, 0:3].set(_BIG).at[0, _OID].set(-1.0)))
-    base = jax.lax.dynamic_update_slice_in_dim(base, in_from_left, n_stay, axis=0)
-    base = jax.lax.dynamic_update_slice_in_dim(
-        base, in_from_right, n_stay + n_in_l, axis=0)
-    new_count = n_stay + n_in_l + n_in_r
-    overflow = jnp.maximum(new_count - p_cap, 0)
-    new_count = jnp.minimum(new_count, p_cap)
-    out_fields = base[0:p_cap]
-
     # ---- diagnostics -------------------------------------------------------
+    valid_n = new_fields[:, _OID] >= 0.0
     n_total = jax.lax.psum(jnp.sum(valid_n.astype(jnp.int32)), _AXIS)
     nc_sum = jax.lax.psum(jnp.sum(jnp.where(row_valid, nc_l, 0)), _AXIS)
     nc_max = jax.lax.pmax(jnp.max(jnp.where(row_valid, nc_l, 0)), _AXIS)
@@ -570,20 +658,100 @@ def slab_step_body(cfg: SphConfig, ndev: int, p_cap: int, h_cap: int,
         nc_max.astype(jnp.float32), nc_min.astype(jnp.float32),
         truncated.astype(jnp.float32), halo_miss.astype(jnp.float32),
         mig_drop.astype(jnp.float32)])
-    return out_fields, new_count[None], diag_vec[None]
+    steps2 = jnp.where(need, 0, steps_since[0] + 1)
+    rebin2 = rebin_count[0] + need.astype(jnp.int32)
+    return (new_fields, cnt2[None], pos_bin2, cid_s, tab_a2, tab_b2,
+            steps2[None], rebin2[None], diag_vec[None])
+
+
+def _table_zeros(cfg: SphConfig, sweeps: str, ndev: int, p_cap: int):
+    """Placeholder frozen tables for the pre-first-rebin carry."""
+    if sweeps == "pallas":
+        from ..ops import pallas_step_t as pt
+
+        tsize = (p_cap // pt.BLANE) * cfg.pallas_groups * len(pt._RODS)
+        return (jnp.zeros((ndev * tsize,), jnp.int32),
+                jnp.zeros((ndev * tsize,), jnp.int32))
+    return (jnp.zeros((ndev * p_cap, 9), jnp.int32),
+            jnp.zeros((ndev * p_cap, 9), jnp.int32))
+
+
+def init_lazy_slab(cfg: SphConfig, mesh: Mesh, carry: SlabCarry,
+                   p_cap: int, sweeps: str = "celllist") -> LazySlabCarry:
+    """Wrap a freshly distributed store with empty frozen structure.
+
+    ``steps_since = -1`` forces the first step to migrate/sort/build tables.
+    """
+    ndev = math.prod(mesh.devices.shape)
+    sh = NamedSharding(mesh, P(_AXIS))
+    tab_a, tab_b = _table_zeros(cfg, sweeps, ndev, p_cap)
+    put = lambda x: jax.device_put(x, sh)
+    return LazySlabCarry(
+        fields=carry.fields, count=carry.count,
+        pos_bin=put(jnp.zeros((ndev * p_cap, 3), jnp.float32)),
+        cid=put(jnp.zeros((ndev * p_cap,), jnp.int32)),
+        tab_a=put(tab_a), tab_b=put(tab_b),
+        steps_since=put(jnp.full((ndev,), -1, jnp.int32)),
+        rebin_count=put(jnp.zeros((ndev,), jnp.int32)),
+    )
+
+
+def slab_imbalance(carry) -> float:
+    """max/mean ratio of per-device valid-row counts (1.0 = perfect)."""
+    import numpy as np
+
+    counts = np.asarray(carry.count).astype(np.float64)
+    return float(counts.max() / max(counts.mean(), 1.0))
+
+
+def maybe_rebalance(cfg: SphConfig, mesh: Mesh, carry, n: int,
+                    threshold: float = 1.5, headroom: float = 1.5):
+    """Host-side dynamic re-partition (call at block/checkpoint boundaries).
+
+    The zsplit frozen at t=0 goes stale when mass re-concentrates (a splash
+    collapsing to the box floor); the only guard inside the step is counted
+    drops.  This recomputes the z-plane histogram from the CURRENT particle
+    distribution and, when the per-device load imbalance exceeds
+    ``threshold``, re-collects and re-distributes the store under a fresh
+    occupancy-weighted split (same machinery as ``derive_zsplit`` at t=0).
+
+    Returns ``(carry, zsplit, caps, changed)``; when ``changed`` the caller
+    must rebuild its step function for the new ``zsplit``/``caps`` (a
+    recompile — which is why this belongs at block boundaries, like the
+    CLI's mid-run --apply).  Collectives never run here: pure host work.
+    """
+    ndev = math.prod(mesh.devices.shape)
+    if slab_imbalance(carry) <= threshold:
+        return carry, None, None, False
+    state = collect(carry, n)
+    zsplit = derive_zsplit(cfg, state, ndev)
+    caps = derive_slab_caps(cfg, state, ndev, headroom=headroom, zsplit=zsplit)
+    new_carry = distribute(cfg, state, mesh, caps[0], zsplit=zsplit)
+    return new_carry, zsplit, caps, True
 
 
 def make_slab_step(cfg: SphConfig, mesh: Mesh, p_cap: int, h_cap: int,
                    m_cap: int, chunk: int = 1024, donate: bool = True,
                    sweeps: str = "celllist",
-                   zsplit: tuple[int, ...] | None = None
-                   ) -> Callable[[SlabCarry], tuple[SlabCarry, StepDiagnostics]]:
-    """Jitted fully-distributed step over ``mesh`` (see module docstring).
+                   zsplit: tuple[int, ...] | None = None, lazy: bool = True
+                   ) -> Callable[[SlabCarry | LazySlabCarry],
+                                 tuple[LazySlabCarry, StepDiagnostics]]:
+    """Fully-distributed step over ``mesh`` (see module docstring).
 
     ``sweeps="pallas"`` runs the SAME production sublane kernels as the
     single-chip path inside each device's shard (requires p_cap and h_cap to
     be multiples of 128; interpret mode on CPU).  ``"celllist"`` uses the
-    portable XLA sweeps."""
+    portable XLA sweeps.
+
+    ``lazy=True`` (default) freezes the per-device sort + window tables
+    between rebins under the (cell - h)/2 drift skin — the distributed port
+    of the single-chip lazy driver, amortizing the per-step rebuild the
+    reference pays on every step (/root/reference/src/sph.cpp:438-481).
+    ``lazy=False`` rebins (and migrates) every step.
+
+    Accepts a plain ``SlabCarry`` (auto-initialized) or a ``LazySlabCarry``
+    from a previous call; returns a ``LazySlabCarry``.
+    """
     ndev = math.prod(mesh.devices.shape)
     _nzs(cfg, ndev)
     if zsplit is None:
@@ -600,20 +768,26 @@ def make_slab_step(cfg: SphConfig, mesh: Mesh, p_cap: int, h_cap: int,
     if sweeps == "pallas":
         if p_cap % 128 or h_cap % 128:
             raise ValueError("pallas sweeps need p_cap and h_cap % 128 == 0")
+        if cfg.pallas_window_t <= 0:
+            raise ValueError("pallas sweeps need pallas_window_t > 0 "
+                             "(derive via ops.pallas_step_t.derive_window_t)")
 
     body = partial(slab_step_body, cfg, ndev, p_cap, h_cap, m_cap, chunk,
-                   sweeps, zsplit)
+                   sweeps, zsplit, lazy)
     sharded = jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P(_AXIS), P(_AXIS)),
-        out_specs=(P(_AXIS), P(_AXIS), P(_AXIS)),
+        in_specs=(P(_AXIS),) * 8,
+        out_specs=(P(_AXIS),) * 9,
         # pallas_call outputs don't carry vma annotations yet; the body is
         # manually-sharded SPMD either way
         check_vma=False,
     )
 
-    def step(carry: SlabCarry) -> tuple[SlabCarry, StepDiagnostics]:
-        fields, count, diag_rows = sharded(carry.fields, carry.count)
+    def _step(carry: LazySlabCarry) -> tuple[LazySlabCarry, StepDiagnostics]:
+        (fields, count, pos_bin, cid, tab_a, tab_b, steps_since, rebins,
+         diag_rows) = sharded(carry.fields, carry.count, carry.pos_bin,
+                              carry.cid, carry.tab_a, carry.tab_b,
+                              carry.steps_since, carry.rebin_count)
         dv = diag_rows[0]
         diag = StepDiagnostics(
             kinetic_energy=dv[0], potential_energy=dv[1],
@@ -625,6 +799,14 @@ def make_slab_step(cfg: SphConfig, mesh: Mesh, p_cap: int, h_cap: int,
             halo_dropped=dv[7].astype(jnp.int32),
             migration_dropped=dv[8].astype(jnp.int32),
         )
-        return SlabCarry(fields, count), diag
+        return LazySlabCarry(fields, count, pos_bin, cid, tab_a, tab_b,
+                             steps_since, rebins), diag
 
-    return jax.jit(step, donate_argnums=(0,) if donate else ())
+    jitted = jax.jit(_step, donate_argnums=(0,) if donate else ())
+
+    def step(carry):
+        if not isinstance(carry, LazySlabCarry):
+            carry = init_lazy_slab(cfg, mesh, carry, p_cap, sweeps)
+        return jitted(carry)
+
+    return step

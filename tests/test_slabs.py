@@ -210,6 +210,125 @@ def test_balanced_zsplit_matches_and_shrinks_pcap():
                                rtol=1e-5, atol=1e-5)
 
 
+def test_lazy_slab_freezes_rebuilds_and_matches_eager():
+    """Drift below the (cell-h)/2 skin: the lazy engine must freeze the sort
+    + window tables across steps (rebin_count stays at the initial build) and
+    still produce the same physics as rebinning every step — the frozen
+    structure is a candidate SUPERSET and the kernels mask true distances."""
+    steps = 6
+    # 1.25h cells: 0.125h drift skin (the dam_break default is h-cells = zero
+    # skin, which degrades the lazy engine to eager — correct, never faster)
+    cfg, state = _scene(cell_size_factor=1.25)
+    # zero velocities: drift/step ~2e-5 world units << the 0.0125 skin
+    state = state._replace(velocity=state.velocity * 0.0)
+    mesh = make_mesh(8)
+    p_cap, h_cap, m_cap = slabs.derive_slab_caps(cfg, state, 8)
+
+    results = {}
+    for lazy in (True, False):
+        carry = slabs.distribute(cfg, state, mesh, p_cap)
+        f = slabs.make_slab_step(cfg, mesh, p_cap, h_cap, m_cap,
+                                 donate=False, lazy=lazy)
+        for _ in range(steps):
+            carry, diag = f(carry)
+        results[lazy] = (carry, slabs.collect(carry, cfg.num_particles), diag)
+
+    lazy_carry, lazy_state, lazy_diag = results[True]
+    eager_carry, eager_state, eager_diag = results[False]
+    rebins_lazy = int(np.asarray(lazy_carry.rebin_count)[0])
+    rebins_eager = int(np.asarray(eager_carry.rebin_count)[0])
+    assert rebins_eager == steps
+    assert rebins_lazy < steps, (
+        f"lazy engine rebuilt every step ({rebins_lazy}/{steps}) — "
+        "the drift skin never engaged")
+    np.testing.assert_allclose(np.asarray(lazy_state.position),
+                               np.asarray(eager_state.position),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(float(lazy_diag.kinetic_energy),
+                               float(eager_diag.kinetic_energy), rtol=1e-5)
+    np.testing.assert_allclose(float(lazy_diag.neighbor_mean),
+                               float(eager_diag.neighbor_mean), rtol=1e-6)
+
+
+def test_lazy_slab_pallas_freezes_and_matches():
+    """Same freeze-equality contract through the production pallas sweeps
+    (interpret mode): frozen ws/wc tables must reproduce eager physics."""
+    steps = 4
+    cfg, state = _scene(pallas_interpret=True, pallas_window_t=64,
+                        cell_size_factor=1.25)
+    state = state._replace(velocity=state.velocity * 0.0)
+    mesh = make_mesh(8)
+    p_cap, h_cap, m_cap = slabs.derive_slab_caps(cfg, state, 8)
+
+    outs = {}
+    for lazy in (True, False):
+        carry = slabs.distribute(cfg, state, mesh, p_cap)
+        f = slabs.make_slab_step(cfg, mesh, p_cap, h_cap, m_cap,
+                                 donate=False, sweeps="pallas", lazy=lazy)
+        for _ in range(steps):
+            carry, diag = f(carry)
+        outs[lazy] = (carry, slabs.collect(carry, cfg.num_particles))
+    assert int(np.asarray(outs[True][0].rebin_count)[0]) < steps
+    np.testing.assert_allclose(np.asarray(outs[True][1].position),
+                               np.asarray(outs[False][1].position),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_dynamic_rebalance_prevents_overflow():
+    """Mass streaming toward the box floor overloads the t=0 partition: the
+    static split overflows p_cap (counted drops), while host-side
+    maybe_rebalance at block boundaries re-derives the split + caps from the
+    CURRENT histogram and the same run completes clean."""
+    import math as _math
+
+    steps, block = 12, 2
+    cfg, state = _scene()
+    vz = -0.3 * cfg.cell_size / cfg.dt * cfg.sim_scale
+    state = state._replace(velocity=state.velocity.at[:, 2].set(vz))
+    mesh = make_mesh(8)
+    zsplit = slabs.derive_zsplit(cfg, state, 8)
+    _, h_cap, m_cap = slabs.derive_slab_caps(cfg, state, 8, headroom=2.0,
+                                             zsplit=zsplit)
+    # p_cap just above the initial max slab population: any concentration
+    # beyond the t=0 layout overflows
+    zp = np.floor(np.asarray(state.position)[:, 2] / cfg.cell_size).astype(int)
+    plane = np.bincount(np.clip(zp, 0, cfg.grid_nz - 1), minlength=cfg.grid_nz)
+    slab_pop = max(plane[a:b].sum() for a, b in zip(zsplit, zsplit[1:]))
+    p_cap = -(-int(slab_pop + 64) // 128) * 128
+
+    # --- static split: drops ---
+    carry = slabs.distribute(cfg, state, mesh, p_cap, zsplit=zsplit)
+    f = slabs.make_slab_step(cfg, mesh, p_cap, h_cap, m_cap, donate=False,
+                             zsplit=zsplit)
+    dropped_static = 0
+    for _ in range(steps):
+        carry, diag = f(carry)
+        dropped_static += int(diag.migration_dropped)
+    assert dropped_static > 0, (
+        "scene no longer overloads the static split — tighten p_cap")
+
+    # --- with block-boundary rebalancing: clean ---
+    carry = slabs.distribute(cfg, state, mesh, p_cap, zsplit=zsplit)
+    caps = (p_cap, h_cap, m_cap)
+    zs = zsplit
+    f = slabs.make_slab_step(cfg, mesh, *caps, donate=False, zsplit=zs)
+    dropped = 0
+    rebalanced = 0
+    for b in range(steps // block):
+        for _ in range(block):
+            carry, diag = f(carry)
+            dropped += int(diag.migration_dropped)
+        carry2, zs2, caps2, changed = slabs.maybe_rebalance(
+            cfg, mesh, carry, cfg.num_particles, threshold=1.2)
+        if changed:
+            carry, zs, caps = carry2, zs2, caps2
+            f = slabs.make_slab_step(cfg, mesh, *caps, donate=False, zsplit=zs)
+            rebalanced += 1
+    assert rebalanced > 0, "imbalance never crossed the rebalance threshold"
+    assert dropped == 0, f"rebalanced run still dropped {dropped} particles"
+    assert int(np.asarray(carry.count).sum()) == cfg.num_particles
+
+
 def test_long_march_conservation():
     """60 steps of a tall-velocity dam break: particles stream across many
     slab boundaries; counts stay conserved, nothing drops, energies finite."""
