@@ -108,6 +108,17 @@ class SphConfig:
     # select ops for near-G-fold fewer swept rows (block extent dominates
     # window length)
     pallas_groups: int = 1
+    # --- capped candidates (the reference's "Subsets" optimization) ----------
+    # The reference bounds pair work by stochastically subsampling neighbors
+    # (/root/reference/src/sph.cpp:98,590-598,679-682; README.md:267-268
+    # "Subsets").  Here the TPU-native form caps the CANDIDATE SOURCE at
+    # ``capped_candidates`` particles per cell (deterministic hash-selected),
+    # shrinking every rod window from extent*occupancy to extent*K_c.
+    # 0 = off (exact, the default).  ``capped_reweight`` scales each kept
+    # candidate's mass by occupancy/kept so density stays unbiased (the
+    # reference truncates without reweighting — set False for that semantic).
+    capped_candidates: int = 0
+    capped_reweight: bool = True
 
     # ---------------------------------------------------------------------------
     # Derived constants (float32-faithful to /root/reference/src/sph.cpp:46-95)
@@ -208,3 +219,8 @@ class SphConfig:
             raise ValueError("octant stencil requires cell_size >= 2h; use cell27")
         if self.compat and self.cell_size_factor != 2.0:
             raise ValueError("compat mode requires the reference's 2h cells")
+        if self.capped_candidates < 0:
+            raise ValueError("capped_candidates must be >= 0 (0 = off)")
+        if self.capped_candidates and self.compat:
+            raise ValueError("capped_candidates is the default-mode subsets "
+                             "feature; compat mode has its own bit-faithful cap")

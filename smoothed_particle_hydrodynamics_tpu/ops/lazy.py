@@ -63,6 +63,10 @@ class LazyCarry(NamedTuple):
     ref: jnp.ndarray         # [nblocks*3] frozen per-block reference points
     steps_since: jnp.ndarray  # i32 scalar: steps since last rebin
     rebin_count: jnp.ndarray  # i32 scalar: total rebins so far
+    # capped ("subsets") mode only — None otherwise (static pytree per cfg):
+    sub_perm: jnp.ndarray | None = None    # [N] frozen sub -> full row map
+    cand_cid_f: jnp.ndarray | None = None  # [N] frozen sub cids (-10 tail)
+    wm_sub: jnp.ndarray | None = None      # [N] frozen reweighted cand mass
 
 
 def skin_half(cfg: SphConfig) -> float:
@@ -81,7 +85,7 @@ def _validate(cfg: SphConfig) -> None:
 
 
 def _carry_fields(cfg: SphConfig, state: ParticleState):
-    """(sorted_state, order, pos_bin, cid_f, ws, wc, ref) from scratch."""
+    """(sorted_state, order, pos_bin, cid_f, ws, wc, ref, sub...) from scratch."""
     p = prepare_t(cfg, state)
     zeros = jnp.zeros_like(p.mass_s)
     sorted_state = state._replace(
@@ -90,16 +94,19 @@ def _carry_fields(cfg: SphConfig, state: ParticleState):
         acceleration=jnp.zeros_like(p.pos_s),
         neighbor_count=jnp.zeros_like(p.mass_s, dtype=jnp.int32),
     )
-    return sorted_state, p.order, p.pos_s, p.cid_f, p.ws, p.wc, p.ref
+    return (sorted_state, p.order, p.pos_s, p.cid_f, p.ws, p.wc, p.ref,
+            p.sub_perm, p.cand_cid_f, p.wm_sub)
 
 
 def init_lazy(cfg: SphConfig, state: ParticleState) -> LazyCarry:
     """Sort the initial state and build the first binning structure."""
     _validate(cfg)
-    sorted_state, order, pos_bin, cid_f, ws, wc, ref = _carry_fields(cfg, state)
+    (sorted_state, order, pos_bin, cid_f, ws, wc, ref,
+     sub_perm, cand_cid_f, wm_sub) = _carry_fields(cfg, state)
     return LazyCarry(sorted_state, order, pos_bin, cid_f, ws, wc, ref,
                      steps_since=jnp.zeros((), jnp.int32),
-                     rebin_count=jnp.zeros((), jnp.int32))
+                     rebin_count=jnp.zeros((), jnp.int32),
+                     sub_perm=sub_perm, cand_cid_f=cand_cid_f, wm_sub=wm_sub)
 
 
 def lazy_step(cfg: SphConfig, carry: LazyCarry
@@ -114,19 +121,24 @@ def lazy_step(cfg: SphConfig, carry: LazyCarry
     need = drift > jnp.float32(skin_half(cfg))
 
     def rebuild(c: LazyCarry):
-        st, perm, pos_bin, cid_f, ws, wc, ref = _carry_fields(cfg, c.state)
+        (st, perm, pos_bin, cid_f, ws, wc, ref,
+         sub_perm, cand_cid_f, wm_sub) = _carry_fields(cfg, c.state)
         return (st, c.order[perm], pos_bin, cid_f, ws, wc, ref,
-                jnp.zeros((), jnp.int32), c.rebin_count + 1)
+                jnp.zeros((), jnp.int32), c.rebin_count + 1,
+                sub_perm, cand_cid_f, wm_sub)
 
     def keep(c: LazyCarry):
         return (c.state, c.order, c.pos_bin, c.cid_f, c.ws, c.wc, c.ref,
-                c.steps_since + 1, c.rebin_count)
+                c.steps_since + 1, c.rebin_count,
+                c.sub_perm, c.cand_cid_f, c.wm_sub)
 
     (state, order, pos_bin, cid_f, ws, wc, ref,
-     steps_since, rebin_count) = jax.lax.cond(need, rebuild, keep, carry)
+     steps_since, rebin_count, sub_perm, cand_cid_f, wm_sub
+     ) = jax.lax.cond(need, rebuild, keep, carry)
 
     p = PreparedT(order=order, pos_s=state.position, vel_s=state.velocity,
-                  mass_s=state.mass, cid_f=cid_f, ws=ws, wc=wc, ref=ref)
+                  mass_s=state.mass, cid_f=cid_f, ws=ws, wc=wc, ref=ref,
+                  sub_perm=sub_perm, cand_cid_f=cand_cid_f, wm_sub=wm_sub)
     acc_s, rho_s, ncount_s = sweeps_sorted(cfg, p)
     state = state._replace(density=rho_s, neighbor_count=ncount_s)
     new_state, tally = kdk_integrate(cfg, state, acc_s)
@@ -135,7 +147,8 @@ def lazy_step(cfg: SphConfig, carry: LazyCarry
         tally, ncount_s, overflow_cells=jnp.zeros((), jnp.int32),
         truncated_ranges=jnp.zeros((), jnp.int32))
     new_carry = LazyCarry(new_state, order, pos_bin, cid_f, ws, wc, ref,
-                          steps_since, rebin_count)
+                          steps_since, rebin_count,
+                          sub_perm, cand_cid_f, wm_sub)
     return new_carry, diag
 
 

@@ -351,6 +351,9 @@ def compute_step_quantities(cfg: SphConfig, state: ParticleState
     if cfg.compat:
         raise ValueError("pallas backend supports default mode only; "
                          "compat parity runs use the XLA backends")
+    if cfg.capped_candidates:
+        raise ValueError("capped_candidates is implemented in the sublane "
+                         "layout (pallas_layout='sublane')")
     # f32 represents integers exactly up to 2^24, so max cid = num_cells-1
     # must satisfy num_cells <= 2^24 (256^3 is exactly at the limit).
     if cfg.num_cells > 1 << 24:

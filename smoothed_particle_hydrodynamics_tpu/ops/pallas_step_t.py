@@ -73,10 +73,12 @@ def _block_windows_t(cfg: SphConfig, cid_sorted, nblocks: int,
 
     ``cid_search`` (default: ``cid_sorted``) is the sorted cid array the
     windows index INTO — the distributed slab engine passes the extended
-    [halo | local | halo] cids here while blocks come from the local rows.
-    Search cids may contain out-of-grid sentinels (< 0 or >= num_cells);
-    they are clipped for the histogram, which only widens windows by inert
-    rows at the array ends (the in-kernel cid mask rejects them).
+    [halo | local | halo] cids here, and the capped mode passes the
+    subsampled candidate cids.  Search cids may contain out-of-grid
+    sentinels: values < 0 clip into cell 0 (inert rows at the array start,
+    rejected by the in-kernel cid mask); values >= num_cells land in a
+    dedicated histogram bucket that no window bound ever reaches, so
+    trailing excluded rows (capped mode's unkept tail) never widen a window.
 
     Cell offsets come from one bincount + cumsum + a stacked gather of the
     window cells' bounds (measured 18 ms vs 27 ms for a left/right
@@ -96,9 +98,11 @@ def _block_windows_t(cfg: SphConfig, cid_sorted, nblocks: int,
     hi_cell = jnp.clip(groups[:, -1][:, None] + deltas[None, :] + 1,
                        0, cfg.num_cells - 1)
     # bincount + cumsum + one stacked gather: same results as the previous
-    # left/right searchsorted pair, measured 18 vs 27 ms at 1M / 2M cells
-    counts = jnp.bincount(jnp.clip(cid_search, 0, cfg.num_cells - 1),
-                          length=cfg.num_cells)
+    # left/right searchsorted pair, measured 18 vs 27 ms at 1M / 2M cells.
+    # The extra num_cells bucket absorbs >= num_cells sentinels (capped tail)
+    # without inflating the last real cell; lo/hi never index it.
+    counts = jnp.bincount(jnp.clip(cid_search, 0, cfg.num_cells),
+                          length=cfg.num_cells + 1)
     cum = jnp.concatenate([jnp.zeros((1,), counts.dtype),
                            jnp.cumsum(counts)])
     bounds = cum[jnp.stack([lo_cell, hi_cell + 1], axis=0)]
@@ -233,8 +237,11 @@ def _sweep_body_t(cfg, s_t, block_base,
 
 
 # ---------------------------------------------------------------------------
-# Density: candidate row lanes 0:x 1:y 2:z 3:cid 4:m (world coordinates;
-# d^2 in exact diff form, bit-identical to the XLA backends)
+# Density: candidate row lanes 0:x 1:y 2:z 3:cid 4:m 5:src (world
+# coordinates; d^2 in exact diff form, bit-identical to the XLA backends).
+# ``src`` is the candidate's FULL-frame sorted row: in capped mode the
+# candidate array is a subsampled frame whose window row index jg no longer
+# equals the particle row, so self-exclusion compares src instead.
 # ---------------------------------------------------------------------------
 
 def _density_kernel_t(cfg: SphConfig, s_t: int, block_base: int,
@@ -257,7 +264,8 @@ def _density_kernel_t(cfg: SphConfig, s_t: int, block_base: int,
         d2 = dx * dx + dy * dy + dz * dz                   # unscaled
         dc = _merge_cols(tiles, masks, 3) - cid_i
         rod_ok = jnp.abs(dc - _f32(deltas[r])) <= 1.0
-        mask = rod_ok & (jg != own) & (d2 < h2)
+        src = _merge_cols(tiles, masks, 5)
+        mask = rod_ok & (src != own.astype(jnp.float32)) & (d2 < h2)
         if gate is not None:
             mask = mask & gate
         t = _f32(cfg.h_scaled2) - d2 * _f32(cfg.sim_scale * cfg.sim_scale)
@@ -285,7 +293,7 @@ def _density_kernel_t(cfg: SphConfig, s_t: int, block_base: int,
 # Force: candidate row lanes
 #   0:x 1:y 2:z 3:ones                      -> pressure reduce matrix U
 #   4:rimj*vx 5:rimj*vy 6:rimj*vz 7:rimj    -> viscosity reduce matrix V
-#   8:cid 9:mj 10:mj*pwj
+#   8:cid 9:mj 10:mj*pwj 11:src (full-frame row, for self-exclusion)
 # U's coordinates are shifted by the per-block reference point in-kernel.
 # ---------------------------------------------------------------------------
 
@@ -331,7 +339,8 @@ def _force_kernel_t(cfg: SphConfig, s_t: int, block_base: int,
         d2u = dx * dx + dy * dy + dz * dz                  # unscaled, exact
         dc = _merge_cols(tiles, masks, 8) - cid_i
         rod_ok = jnp.abs(dc - _f32(deltas[r])) <= 1.0
-        mask = rod_ok & (jg != own) & (d2u < h2)
+        src = _merge_cols(tiles, masks, 11)
+        mask = rod_ok & (src != own.astype(jnp.float32)) & (d2u < h2)
         if gate is not None:
             mask = mask & gate
 
@@ -430,7 +439,16 @@ def _pad_rows(cols: jnp.ndarray, n_pad: int, naug: int) -> jnp.ndarray:
 
 
 class PreparedT(NamedTuple):
-    """Sorted fields + window tables shared by both transposed sweeps."""
+    """Sorted fields + window tables shared by both transposed sweeps.
+
+    The three optional fields exist only in capped mode
+    (``cfg.capped_candidates > 0`` — the reference's "Subsets" strategy,
+    /root/reference/README.md:267-268): the candidate arrays then live in a
+    SUBSAMPLED frame (at most K_c hash-selected particles per cell, compacted
+    to the front) while self rows stay the full sorted frame.  Windows are
+    built over the subsampled cids, so rod window length drops from
+    extent*occupancy to extent*K_c.
+    """
 
     order: jnp.ndarray       # [N] sorted-position -> original index
     pos_s: jnp.ndarray       # [N, 3] sorted
@@ -440,6 +458,9 @@ class PreparedT(NamedTuple):
     ws: jnp.ndarray          # [nblocks*9] window starts
     wc: jnp.ndarray          # [nblocks*9] chunk counts
     ref: jnp.ndarray         # [nblocks*3] per-block reference points
+    sub_perm: jnp.ndarray | None = None    # [N] i32 sub row -> full row
+    cand_cid_f: jnp.ndarray | None = None  # [N] f32 sub cids (-10 tail)
+    wm_sub: jnp.ndarray | None = None      # [N] f32 reweighted cand mass
 
 
 def _validate(cfg: SphConfig) -> None:
@@ -453,6 +474,32 @@ def _validate(cfg: SphConfig) -> None:
                          " (0 = auto is resolved by the CLI via derive_window_t)")
     if cfg.pallas_groups not in (1, 2, 4):
         raise ValueError("pallas_groups must be 1, 2, or 4")
+    if cfg.capped_candidates and cfg.pallas_groups != 1:
+        raise ValueError("capped_candidates currently requires pallas_groups=1")
+
+
+def _hash32(idx: jnp.ndarray) -> jnp.ndarray:
+    """Deterministic per-particle hash (Knuth multiplicative, 31-bit).
+
+    Position-independent, so ordering cell members by it makes the capped
+    mode's kept-first-K_c selection an unbiased within-cell subsample —
+    unlike the reference's LCG bucket offsets, which bias toward insertion
+    order (/root/reference/src/sph.cpp:590-598)."""
+    return (idx * jnp.int32(-1640531527)) & jnp.int32(0x7FFFFFFF)
+
+
+def _run_rank_occ(cid_sorted: jnp.ndarray):
+    """(rank within cid run, run occupancy) per sorted row — O(N) scans,
+    no gathers (cummax/cummin over run-boundary flags)."""
+    n = cid_sorted.shape[0]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    flag = jnp.concatenate([jnp.ones((1,), bool),
+                            cid_sorted[1:] != cid_sorted[:-1]])
+    start = jax.lax.cummax(jnp.where(flag, iota, 0))
+    rank = iota - start
+    nxt = jnp.concatenate([flag[1:], jnp.ones((1,), bool)])
+    run_end = jax.lax.cummin(jnp.where(nxt, iota + 1, n), reverse=True)
+    return rank, run_end - start
 
 
 def _n_pad(cfg: SphConfig, n: int) -> int:
@@ -487,8 +534,18 @@ def derive_window_t(cfg: SphConfig, state: ParticleState,
                  0, cfg.num_cells - 1)
     hi = np.clip(groups[:, -1][:, None] + deltas[None, :] + 1,
                  0, cfg.num_cells - 1)
-    a = np.searchsorted(cid, lo.ravel(), side="left")
-    b = np.searchsorted(cid, hi.ravel(), side="right")
+    if cfg.capped_candidates:
+        # windows index the SUBSAMPLED candidate array: replay the per-cell
+        # cap on the occupancy histogram (selection is a subset per cell, so
+        # only counts matter for window lengths)
+        counts = np.bincount(cid, minlength=cfg.num_cells)
+        capped = np.minimum(counts, cfg.capped_candidates)
+        cum = np.concatenate([[0], np.cumsum(capped)])
+        a = cum[lo.ravel()]
+        b = cum[np.minimum(hi.ravel() + 1, cfg.num_cells)]
+    else:
+        a = np.searchsorted(cid, lo.ravel(), side="left")
+        b = np.searchsorted(cid, hi.ravel(), side="right")
     lens = np.maximum(b - a, 0)
     lens = lens[lens > 0]
     if lens.size == 0:
@@ -503,30 +560,67 @@ def prepare_t(cfg: SphConfig, state: ParticleState) -> PreparedT:
     One ``lax.sort`` pair-sort yields sorted ids + permutation together
     (cheaper than argsort + gather); fields ride through one [N, 7] row
     gather; no full per-cell offset tables are built (see _block_windows_t).
+
+    Capped mode (``cfg.capped_candidates = K_c``) additionally selects the
+    K_c lowest-hash particles of every cell as the CANDIDATE SOURCE, compacts
+    them to the front of a subsampled frame (a second pair sort), and builds
+    the windows over the kept cids; the sweep functions then gather candidate
+    fields through ``sub_perm`` each step.  ``capped_reweight`` scales kept
+    masses by occupancy/kept so density stays unbiased.
     """
     _validate(cfg)
     n = state.position.shape[0]
     nblocks = -(-n // BLANE)
+    k_c = cfg.capped_candidates
 
     cid = linear_cell_id(cfg, cell_coords(cfg, state.position))
-    cid_sorted, order = jax.lax.sort(
-        (cid, jnp.arange(n, dtype=jnp.int32)), num_keys=1)
+    iota = jnp.arange(n, dtype=jnp.int32)
+    if k_c:
+        # sort by (cell, hash): cell members land in hash order, so
+        # "rank < K_c" is a deterministic unbiased within-cell subsample
+        cid_sorted, _, order = jax.lax.sort(
+            (cid, _hash32(iota), iota), num_keys=2)
+    else:
+        cid_sorted, order = jax.lax.sort((cid, iota), num_keys=1)
     stacked = jnp.concatenate(
         [state.position, state.velocity, state.mass[:, None]], axis=1)
     stacked_s = stacked[order]
     pos_s = stacked_s[:, 0:3]
+    mass_s = stacked_s[:, 6]
+
+    sub_perm = cand_cid_f = wm_sub = None
+    if k_c:
+        rank, occ = _run_rank_occ(cid_sorted)
+        keep = rank < k_c
+        # compact kept rows to the front, preserving cid order (stable sort)
+        _, sub_perm = jax.lax.sort(
+            (jnp.where(keep, 0, 1).astype(jnp.int32), iota), num_keys=1)
+        n_kept = jnp.sum(keep.astype(jnp.int32))
+        in_kept = iota < n_kept
+        cid_sub = cid_sorted[sub_perm]
+        cand_cid_f = jnp.where(in_kept, cid_sub, -10).astype(jnp.float32)
+        cid_search = jnp.where(in_kept, cid_sub, cfg.num_cells)
+        if cfg.capped_reweight:
+            w = occ.astype(jnp.float32) / jnp.minimum(occ, k_c).astype(jnp.float32)
+        else:  # reference-faithful truncation: kept masses unscaled
+            w = jnp.ones_like(mass_s)
+        wm_sub = (mass_s * w)[sub_perm]
+    else:
+        cid_search = cid_sorted
 
     ws, wc = _block_windows_t(cfg, cid_sorted, nblocks,
-                              cfg.pallas_window_t, n, _n_pad(cfg, n))
+                              cfg.pallas_window_t, n, _n_pad(cfg, n),
+                              cid_search=cid_search)
     first = jnp.minimum(jnp.arange(nblocks, dtype=jnp.int32) * BLANE, n - 1)
     return PreparedT(
         order=order,
         pos_s=pos_s,
         vel_s=stacked_s[:, 3:6],
-        mass_s=stacked_s[:, 6],
+        mass_s=mass_s,
         cid_f=cid_sorted.astype(jnp.float32),
         ws=ws.reshape(-1), wc=wc.reshape(-1),
         ref=pos_s[first].reshape(-1),
+        sub_perm=sub_perm, cand_cid_f=cand_cid_f, wm_sub=wm_sub,
     )
 
 
@@ -569,13 +663,24 @@ def density_sweep_t(cfg: SphConfig, p: PreparedT
     """(rho_s, ncount_s) in sorted order."""
     n = p.pos_s.shape[0]
     n_rows = -(-n // BLANE) * BLANE
-    # candidate lanes: x, y, z, cid, m; self rows: x, y, z, m, cid.
+    # candidate lanes: x, y, z, cid, m, src; self rows: x, y, z, m, cid.
     # Padding rows beyond N get an impossible cid so window chunks that
-    # overrun the array tail always fail the rod mask.
-    cand = jnp.concatenate(
-        [p.pos_s, p.cid_f[:, None], p.mass_s[:, None]], axis=1)
+    # overrun the array tail always fail the rod mask (and far-away
+    # positions as belt-and-braces).
+    iota_f = jnp.arange(n, dtype=jnp.int32).astype(jnp.float32)
+    if cfg.capped_candidates:
+        # subsampled candidate frame: positions gathered fresh each call
+        # (they drift between rebins), mass pre-reweighted at prepare time
+        cand = jnp.concatenate(
+            [p.pos_s[p.sub_perm], p.cand_cid_f[:, None],
+             p.wm_sub[:, None], p.sub_perm.astype(jnp.float32)[:, None]],
+            axis=1)
+    else:
+        cand = jnp.concatenate(
+            [p.pos_s, p.cid_f[:, None], p.mass_s[:, None], iota_f[:, None]],
+            axis=1)
     pad = jnp.zeros((_n_pad(cfg, n) - n, cand.shape[1]), jnp.float32)
-    pad = pad.at[:, 3].set(-10.0)
+    pad = pad.at[:, 0:3].set(1e30).at[:, 3].set(-10.0).at[:, 5].set(-1.0)
     cand = jnp.concatenate([cand, pad], axis=0)
     selfc = jnp.concatenate(
         [p.pos_s, p.mass_s[:, None], p.cid_f[:, None]], axis=1)
@@ -598,16 +703,30 @@ def force_sweep_t(cfg: SphConfig, p: PreparedT, rho_s: jnp.ndarray
     """acc_s [N,3] in sorted order (hydro only; gravity/CFL added by caller)."""
     n = p.pos_s.shape[0]
     n_pad = _n_pad(cfg, n)
-    rhoj_inv = 1.0 / jnp.where(rho_s > 0.0, rho_s, 1.0)
-    p_j = (rho_s - _f32(cfg.rho0)) * _f32(cfg.stiffness)
-    rimj = rhoj_inv * p.mass_s
-    mjpwj = p.mass_s * (p_j * rhoj_inv * rhoj_inv)
     ones = jnp.ones((n, 1), jnp.float32)
+    if cfg.capped_candidates:
+        # one stacked gather into the subsampled frame per step: positions,
+        # velocities and densities all change between rebins
+        g = jnp.concatenate([p.pos_s, p.vel_s, rho_s[:, None]],
+                            axis=1)[p.sub_perm]
+        pos_c, vel_c, rho_c = g[:, 0:3], g[:, 3:6], g[:, 6]
+        m_c = p.wm_sub                                      # reweighted
+        cid_c = p.cand_cid_f
+        src_f = p.sub_perm.astype(jnp.float32)
+    else:
+        pos_c, vel_c, rho_c, m_c = p.pos_s, p.vel_s, rho_s, p.mass_s
+        cid_c = p.cid_f
+        src_f = jnp.arange(n, dtype=jnp.int32).astype(jnp.float32)
+    rhoj_inv = 1.0 / jnp.where(rho_c > 0.0, rho_c, 1.0)
+    p_j = (rho_c - _f32(cfg.rho0)) * _f32(cfg.stiffness)
+    rimj = rhoj_inv * m_c
+    mjpwj = m_c * (p_j * rhoj_inv * rhoj_inv)
     cand = jnp.concatenate(
-        [p.pos_s, ones, rimj[:, None] * p.vel_s, rimj[:, None],
-         p.cid_f[:, None], p.mass_s[:, None], mjpwj[:, None]], axis=1)
+        [pos_c, ones, rimj[:, None] * vel_c, rimj[:, None],
+         cid_c[:, None], m_c[:, None], mjpwj[:, None], src_f[:, None]],
+        axis=1)
     pad = jnp.zeros((n_pad - n, cand.shape[1]), jnp.float32)
-    pad = pad.at[:, 8].set(-10.0)                           # impossible cid
+    pad = pad.at[:, 0:3].set(1e30).at[:, 8].set(-10.0).at[:, 11].set(-1.0)
     cand = jnp.concatenate([cand, pad], axis=0)
     selfc = jnp.concatenate(
         [p.pos_s, p.vel_s, p.mass_s[:, None], rho_s[:, None],

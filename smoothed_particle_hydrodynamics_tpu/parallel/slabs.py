@@ -306,9 +306,14 @@ def _pallas_density_local(cfg: SphConfig, ext, cid_ext, ws, wc, h_cap: int,
     e_pad = _pallas_ext_pad(cfg, h_cap, p_cap)
     nblocks = p_cap // pt.BLANE
     cid_f = cid_ext.astype(jnp.float32)
+    # src lane = extended-frame row (the kernels' self-exclusion compares it
+    # against `own`, which is offset by the halo here)
+    src_f = jnp.arange(e, dtype=jnp.int32).astype(jnp.float32)
     cand = jnp.concatenate(
-        [ext[:, 0:3], cid_f[:, None], ext[:, _MASS:_MASS + 1]], axis=1)
-    pad = jnp.zeros((e_pad - e, 5), jnp.float32).at[:, 3].set(-10.0)
+        [ext[:, 0:3], cid_f[:, None], ext[:, _MASS:_MASS + 1],
+         src_f[:, None]], axis=1)
+    pad = jnp.zeros((e_pad - e, 6), jnp.float32) \
+        .at[:, 0:3].set(_BIG).at[:, 3].set(-10.0).at[:, 5].set(-1.0)
     cand = jnp.concatenate([cand, pad], axis=0)
     fields = pt._pad_rows(cand, e_pad, pt.LANE)
     loc = slice(h_cap, h_cap + p_cap)
@@ -355,10 +360,13 @@ def _pallas_force_local(cfg: SphConfig, ext, cid_ext, rho_e, rho_l, ws, wc,
     rimj = rhoj_inv * mass_e
     mjpwj = mass_e * (p_j * rhoj_inv * rhoj_inv)
     ones = jnp.ones((e, 1), jnp.float32)
+    src_f = jnp.arange(e, dtype=jnp.int32).astype(jnp.float32)
     cand = jnp.concatenate(
         [ext[:, 0:3], ones, rimj[:, None] * ext[:, 3:6], rimj[:, None],
-         cid_f[:, None], mass_e[:, None], mjpwj[:, None]], axis=1)
-    pad = jnp.zeros((e_pad - e, cand.shape[1]), jnp.float32).at[:, 8].set(-10.0)
+         cid_f[:, None], mass_e[:, None], mjpwj[:, None], src_f[:, None]],
+        axis=1)
+    pad = jnp.zeros((e_pad - e, cand.shape[1]), jnp.float32) \
+        .at[:, 0:3].set(_BIG).at[:, 8].set(-10.0).at[:, 11].set(-1.0)
     cand = jnp.concatenate([cand, pad], axis=0)
     fields = pt._pad_rows(cand, e_pad, pt.LANE)
     loc = slice(h_cap, h_cap + p_cap)

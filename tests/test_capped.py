@@ -1,0 +1,126 @@
+"""Capped-candidate ("Subsets") mode — the reference's core optimization,
+rebuilt TPU-natively.
+
+The reference bounds neighbor work by stochastically subsampling candidates
+(/root/reference/src/sph.cpp:98,590-598,679-682; README.md:267-268).  Here
+the candidate SOURCE is capped at K_c hash-selected particles per cell
+(``capped_candidates``), shrinking rod windows from extent*occupancy to
+extent*K_c; ``capped_reweight`` keeps density unbiased.  These tests pin:
+(1) keep-all == exact, (2) reweighted subsampling is mean-unbiased while
+plain truncation is biased low (the reference's semantic), (3) the lazy
+driver runs capped configs, (4) window tables never index the unkept tail.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from smoothed_particle_hydrodynamics_tpu.models import make_scene
+from smoothed_particle_hydrodynamics_tpu.ops import pairwise, pallas_step_t
+
+
+def _dense_scene(**kw):
+    base = dict(num_particles=2048, grid_nx=16, grid_ny=16, grid_nz=16,
+                pallas_interpret=True, pallas_window_t=96,
+                cell_size_factor=1.25)
+    base.update(kw)
+    return make_scene("dam_break", **base)
+
+
+def test_keepall_cap_is_exact():
+    """A cap above every cell's occupancy must reproduce the uncapped
+    physics (only the within-cell candidate order differs)."""
+    cfg, state = _dense_scene()
+    rho_o = np.asarray(pairwise.compute_density(cfg, state))
+    nc_o = np.asarray(pairwise.neighbor_counts(cfg, state))
+    acc_o = np.asarray(pairwise.compute_acceleration(
+        cfg, state, pairwise.compute_density(cfg, state)))
+
+    cfg_c = cfg.replace(capped_candidates=1 << 14)
+    acc, rho, aux = pallas_step_t.compute_step_quantities(cfg_c, state)
+    np.testing.assert_array_equal(np.asarray(aux.neighbor_count), nc_o)
+    np.testing.assert_allclose(np.asarray(rho), rho_o, rtol=1e-5, atol=1e-6)
+    # slightly looser than the uncapped parity test: cells sum in hash order
+    # here, so f32 association differs in near-cancelling components
+    np.testing.assert_allclose(np.asarray(acc), acc_o, rtol=1e-3, atol=5e-4)
+
+
+def test_reweighted_subsample_is_mean_unbiased():
+    cfg, state = _dense_scene()
+    rho_o = np.asarray(pairwise.compute_density(cfg, state))
+    cfg_c = cfg.replace(capped_candidates=8)
+    _, rho, aux = pallas_step_t.compute_step_quantities(cfg_c, state)
+    ratio = float(np.asarray(rho).mean() / rho_o.mean())
+    assert 0.97 < ratio < 1.03, f"reweighted density biased: {ratio}"
+    # the cap actually binds: fewer pairs were summed
+    nc_full = np.asarray(pairwise.neighbor_counts(cfg, state)).mean()
+    assert float(np.asarray(aux.neighbor_count).mean()) < 0.85 * nc_full
+
+
+def test_truncation_without_reweight_is_biased_low():
+    """capped_reweight=False reproduces the reference's truncation semantic:
+    density systematically underestimates by ~the kept fraction."""
+    cfg, state = _dense_scene()
+    rho_o = np.asarray(pairwise.compute_density(cfg, state))
+    cfg_c = cfg.replace(capped_candidates=4, capped_reweight=False)
+    _, rho, _ = pallas_step_t.compute_step_quantities(cfg_c, state)
+    ratio = float(np.asarray(rho).mean() / rho_o.mean())
+    assert ratio < 0.8, f"truncation should bias density low, got {ratio}"
+
+
+def test_capped_never_reads_unkept_tail():
+    """Unkept rows carry sentinel cids: every accepted pair's source must be
+    a kept row.  Verified indirectly: per-particle neighbor count in capped
+    mode is bounded by the uncapped count (a subsample can only lose pairs),
+    and self-pairs stay excluded (rho has no self term)."""
+    cfg, state = _dense_scene(num_particles=1024)
+    nc_full = np.asarray(pairwise.neighbor_counts(cfg, state))
+    cfg_c = cfg.replace(capped_candidates=6)
+    _, rho, aux = pallas_step_t.compute_step_quantities(cfg_c, state)
+    nc = np.asarray(aux.neighbor_count)
+    assert (nc <= nc_full).all(), "capped mode found pairs the oracle lacks"
+    # isolated particles (0 uncapped neighbors) must keep rho == 0: any
+    # self-pair or tail read would show up here
+    lonely = nc_full == 0
+    if lonely.any():
+        assert np.abs(np.asarray(rho)[lonely]).max() == 0.0
+
+
+def test_lazy_driver_runs_capped():
+    """The production lazy driver accepts capped configs: frozen subsample +
+    windows between rebins, fresh gathers each step; first step must equal
+    the eager capped step exactly (identical prepare)."""
+    from smoothed_particle_hydrodynamics_tpu.ops.lazy import drive_loop_lazy
+    from smoothed_particle_hydrodynamics_tpu.ops.step import drive_loop
+
+    cfg, state = _dense_scene(capped_candidates=8)
+    s_lazy, d_lazy = drive_loop_lazy(cfg, state, 1)
+    # a few more steps stay finite under the frozen subsample
+    s3, d3 = drive_loop_lazy(cfg, state, 4)
+    assert np.isfinite(np.asarray(s3.position)).all()
+    assert np.isfinite(float(d3.kinetic_energy[-1]))
+    # (drive_loop donates its input state — call it last)
+    s_eager, d_eager = drive_loop(cfg, state, 1, backend="pallas")
+    np.testing.assert_allclose(np.asarray(s_lazy.position),
+                               np.asarray(s_eager.position),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(float(d_lazy.kinetic_energy[0]),
+                               float(d_eager.kinetic_energy[0]), rtol=1e-6)
+
+
+def test_capped_rejected_outside_sublane_layout():
+    cfg, state = _dense_scene(capped_candidates=8)
+    from smoothed_particle_hydrodynamics_tpu.ops import pallas_step
+
+    with pytest.raises(ValueError):
+        pallas_step.compute_step_quantities(
+            cfg.replace(pallas_layout="lane", pallas_window=512), state)
+
+
+def test_derive_window_shrinks_under_cap():
+    cfg, state = _dense_scene()
+    w_full = pallas_step_t.derive_window_t(cfg, state)
+    w_capped = pallas_step_t.derive_window_t(
+        cfg.replace(capped_candidates=4), state)
+    assert w_capped < w_full, (w_capped, w_full)
