@@ -259,6 +259,20 @@ def cmd_run(args) -> int:
 
     signal.signal(signal.SIGINT, on_sigint)
 
+    # SIGUSR1 = pause/resume in place — the reference's run/pause button
+    # (/root/reference/src/sph.cpp:307-312 flips a mutexed flag the sim loop
+    # polls each step; here the poll happens at block boundaries, the unit of
+    # host control under jit).  `kill -USR1 <pid>` toggles.
+    paused = {"flag": False}
+
+    def on_sigusr1(signum, frame):
+        paused["flag"] = not paused["flag"]
+        print("\npaused — SIGUSR1 again to resume" if paused["flag"]
+              else "\nresumed", file=sys.stderr)
+
+    if hasattr(signal, "SIGUSR1"):
+        signal.signal(signal.SIGUSR1, on_sigusr1)
+
     print(f"scene={args.scene} n={cfg.num_particles} steps={total} "
           f"backend={args.backend} devices={jax.devices()[:max(args.devices or 1, 1)]}")
     phase_ms = {}
@@ -288,6 +302,8 @@ def cmd_run(args) -> int:
                 run = make_run(cfg)  # recompile at the block boundary
                 print(f"applied at step {done}: "
                       + ", ".join(f"{k}={v}" for k, v in merged.items()))
+            while paused["flag"] and not interrupted["flag"]:
+                time.sleep(0.2)   # paused in place; state stays on device
             nblock = min(args.block, total - done)
             if pending_applies:
                 upcoming = min(k for k in pending_applies if k > done)
@@ -357,6 +373,94 @@ def cmd_bench(args) -> int:
                            steps=args.steps or 100, warmup=args.warmup,
                            overrides=overrides, lazy=lazy)
     print(json.dumps(result))
+    return 0
+
+
+def cmd_sweep(args) -> int:
+    """Viscosity x stiffness regime sweep (BASELINE config 4).
+
+    The reference's parameters were tuned by watching the render —
+    "1e+1~2 == nice disk formation" (/root/reference/src/sph.cpp:77); this
+    harness makes the regime map a measured artifact: each grid cell runs
+    ``--steps`` steps and reports the blow-up step (if any), relative energy
+    drift, and mean neighbor count.  One JSON line per cell + a final table.
+    """
+    import itertools
+
+    import jax
+    import numpy as np
+
+    from .utils.diagnostics import detect_blowup
+
+    _resolve_backend(args)
+    overrides = _apply_overrides(args)
+    mus = [float(x) for x in args.viscosity.split(",")]
+    ks = [float(x) for x in args.stiffness.split(",")]
+    use_lazy = (args.backend == "pallas" and not overrides.get("compat")
+                and overrides.get("second_kick") != "full")
+    rows = []
+    for mu, k in itertools.product(mus, ks):
+        cfg, state = make_scene(args.scene, **{**overrides, "viscosity": mu,
+                                               "stiffness": k})
+        cfg.validate()
+        if args.backend == "pallas" and cfg.pallas_window_t == 0:
+            from .ops.pallas_step_t import derive_window_t
+
+            cfg = cfg.replace(pallas_window_t=derive_window_t(cfg, state))
+        if cfg.range_slice == 0:
+            from .ops.celllist import derive_range_slice
+
+            cfg = cfg.replace(range_slice=derive_range_slice(cfg, state))
+        if use_lazy:
+            from .ops.lazy import drive_loop_lazy
+        else:
+            from .ops.step import drive_loop
+
+        done = 0
+        blowup_step = None
+        e0 = e_last = nmean = None
+        carry = None
+        st = state
+        while done < args.steps and blowup_step is None:
+            nblock = min(args.block, args.steps - done)
+            if use_lazy:
+                carry, diags = drive_loop_lazy(cfg, st, nblock, carry=carry,
+                                               keep_carry=True)
+            else:
+                st, diags = drive_loop(cfg, st, nblock, backend=args.backend)
+            ke = np.asarray(diags.kinetic_energy)
+            pe = np.asarray(diags.potential_energy)
+            tot = ke + pe
+            if e0 is None:
+                e0 = float(tot[0])
+            e_last = float(tot[-1])
+            nmean = float(np.asarray(diags.neighbor_mean)[-1])
+            bad, why = detect_blowup(diags)
+            if bad:
+                off = int(np.argmax(~np.isfinite(tot))) if (~np.isfinite(tot)).any() else nblock - 1
+                blowup_step = done + off
+            done += nblock
+        drift = (abs(e_last - e0) / max(abs(e0), 1e-30)
+                 if blowup_step is None else float("nan"))
+        row = {"viscosity": mu, "stiffness": k, "steps": done,
+               "blowup_step": blowup_step, "energy_drift": drift,
+               "neighbor_mean": nmean, "stable": blowup_step is None}
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
+    print(f"\n{args.scene} n={overrides.get('num_particles', 'default')} "
+          f"steps={args.steps} backend={args.backend}")
+    print(f"{'viscosity':>10} {'stiffness':>10} {'stable':>7} "
+          f"{'blowup@':>8} {'E-drift':>10} {'nmean':>7}")
+    for r in rows:
+        print(f"{r['viscosity']:>10g} {r['stiffness']:>10g} "
+              f"{str(r['stable']):>7} "
+              f"{str(r['blowup_step'] or '-'):>8} "
+              f"{r['energy_drift']:>10.3g} {r['neighbor_mean']:>7.2f}")
+    if args.out:
+        with open(args.out, "w") as fh:
+            json.dump(rows, fh, indent=2)
+        print(f"wrote {args.out}")
     return 0
 
 
@@ -471,6 +575,19 @@ def main(argv=None) -> int:
                    help="lazy rebinning driver (default: auto — on for the "
                         "sublane pallas backend in default mode)")
     p.set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser("sweep", help="viscosity x stiffness regime sweep "
+                                     "(BASELINE config 4)")
+    _add_common(p)
+    p.add_argument("--steps", type=int, default=200)
+    p.add_argument("--block", type=int, default=50)
+    p.add_argument("--viscosity", default="0.01,0.1,1,10",
+                   help="comma-separated mu grid")
+    p.add_argument("--stiffness", default="1e-4,1e-3,1e-2",
+                   help="comma-separated k grid")
+    p.add_argument("--out", default="",
+                   help="write the sweep records to this JSON file")
+    p.set_defaults(fn=cmd_sweep)
 
     p = sub.add_parser("render", help="render a saved state to PNG")
     _add_common(p)

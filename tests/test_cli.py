@@ -105,6 +105,61 @@ def test_run_multidevice_slab_pallas(tmp_path):
     assert os.path.exists(f"{out}/energy.txt")
 
 
+def test_sweep_grid(tmp_path, capsys):
+    """The viscosity x stiffness sweep harness (BASELINE config 4): one JSON
+    record per grid cell; the reference's own regime (high viscosity, low
+    stiffness — src/sph.cpp:77) must sit in the stable corner."""
+    out = str(tmp_path / "sweep.json")
+    rc = main(["sweep", "--scene", "honey", "-n", "512", "--steps", "6",
+               "--block", "3", "--viscosity", "0.01,10", "--stiffness",
+               "1e-4", "--out", out])
+    assert rc == 0
+    rows = json.load(open(out))
+    assert len(rows) == 2
+    by_mu = {r["viscosity"]: r for r in rows}
+    assert by_mu[10.0]["stable"], "the reference's honey regime blew up"
+    for r in rows:
+        assert r["steps"] > 0 and r["neighbor_mean"] >= 0
+
+
+def test_pause_resume_signal(tmp_path):
+    """SIGUSR1 toggles pause/resume at block boundaries — the reference's
+    run/pause button (/root/reference/src/sph.cpp:307-312)."""
+    import signal as _signal
+    import subprocess
+    import sys
+    import time
+
+    if not hasattr(_signal, "SIGUSR1"):
+        pytest.skip("no SIGUSR1 on this platform")
+    out = str(tmp_path / "outp")
+    code = (
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "import sys\n"
+        "from smoothed_particle_hydrodynamics_tpu.cli import main\n"
+        f"sys.exit(main(['run', '--scene', 'disk', '-n', '256', '--steps',"
+        f" '40', '--block', '2', '--out', {out!r}, '--quiet']))\n")
+    p = subprocess.Popen([sys.executable, "-c", code],
+                         stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                         text=True)
+    try:
+        # the handler is installed before the "scene=" banner; signaling any
+        # earlier would hit SIGUSR1's default action (terminate) mid-import
+        banner = p.stdout.readline()
+        assert banner.startswith("scene="), banner
+        p.send_signal(_signal.SIGUSR1)   # pause
+        time.sleep(6.0)
+        assert p.poll() is None, "run finished while supposedly paused"
+        p.send_signal(_signal.SIGUSR1)   # resume
+        _, err = p.communicate(timeout=240)
+    finally:
+        if p.poll() is None:
+            p.kill()
+    assert p.returncode == 0, err
+    assert "paused" in err and "resumed" in err
+
+
 def test_run_multidevice_halo_rejects_pallas(tmp_path):
     with pytest.raises(SystemExit):
         main(["run", "--scene", "dam_break", "-n", "2048", "--steps", "2",
