@@ -25,6 +25,10 @@ def main() -> int:
     ap.add_argument("--backend", default=None, help="default: pallas on TPU, celllist elsewhere")
     ap.add_argument("--no-parity", action="store_true",
                     help="skip the pallas-vs-celllist hardware parity block")
+    ap.add_argument("--no-slab", action="store_true",
+                    help="skip the distributed slab-engine 1-device-mesh row")
+    ap.add_argument("--no-capped", action="store_true",
+                    help="skip the capped-candidates (subsets) row")
     args = ap.parse_args()
 
     import jax
@@ -71,6 +75,32 @@ def main() -> int:
         # recorded proof that the compiled Mosaic kernels agree with the XLA
         # cell-list oracle on THIS device (not just interpreter mode)
         line["parity"] = run_parity_check()
+    on_tpu = jax.devices()[0].platform.lower() != "cpu"
+    if not args.no_capped and backend == "pallas" and on_tpu:
+        # the reference's "Subsets" strategy as a first-class speed dial:
+        # K_c=8 per cell, mass-reweighted (density mean-unbiased, measured
+        # rel-L2 noise ~0.18 vs the exact sweep — docs/PERFORMANCE.md r3)
+        capped = run_benchmark(
+            scene=args.scene, backend="pallas", steps=max(args.steps // 2, 10),
+            warmup=args.warmup,
+            overrides=dict(overrides, capped_candidates=8, pallas_window_t=0,
+                           cell_size_factor=1.25),
+            lazy=True)
+        line["capped_k8"] = {k: capped[k] for k in
+                            ("value", "ms_per_step", "steps")}
+    if not args.no_slab and on_tpu:
+        # per-chip constant of the DISTRIBUTED path (1-device mesh, real
+        # chip): grounds the multi-chip scale-out claim with a measured datum
+        from smoothed_particle_hydrodynamics_tpu.utils.benchmark import (
+            run_slab_benchmark)
+
+        slab = run_slab_benchmark(
+            n=args.num_particles, steps=max(args.steps // 3, 10),
+            sweeps="pallas" if backend == "pallas" else "celllist")
+        line["slab_1dev"] = {k: slab[k] for k in
+                             ("value", "ms_per_step", "p_cap", "window_t",
+                              "rebins", "migration_dropped", "halo_dropped",
+                              "steps")}
     print(json.dumps(line))
     return 0
 

@@ -264,8 +264,13 @@ def _density_kernel_t(cfg: SphConfig, s_t: int, block_base: int,
         d2 = dx * dx + dy * dy + dz * dz                   # unscaled
         dc = _merge_cols(tiles, masks, 3) - cid_i
         rod_ok = jnp.abs(dc - _f32(deltas[r])) <= 1.0
-        src = _merge_cols(tiles, masks, 5)
-        mask = rod_ok & (src != own.astype(jnp.float32)) & (d2 < h2)
+        if cfg.capped_candidates:
+            # subsampled candidate frame: window row != particle row, so
+            # self-exclusion compares the src lane
+            not_self = _merge_cols(tiles, masks, 5) != own.astype(jnp.float32)
+        else:
+            not_self = jg != own
+        mask = rod_ok & not_self & (d2 < h2)
         if gate is not None:
             mask = mask & gate
         t = _f32(cfg.h_scaled2) - d2 * _f32(cfg.sim_scale * cfg.sim_scale)
@@ -339,8 +344,11 @@ def _force_kernel_t(cfg: SphConfig, s_t: int, block_base: int,
         d2u = dx * dx + dy * dy + dz * dz                  # unscaled, exact
         dc = _merge_cols(tiles, masks, 8) - cid_i
         rod_ok = jnp.abs(dc - _f32(deltas[r])) <= 1.0
-        src = _merge_cols(tiles, masks, 11)
-        mask = rod_ok & (src != own.astype(jnp.float32)) & (d2u < h2)
+        if cfg.capped_candidates:
+            not_self = _merge_cols(tiles, masks, 11) != own.astype(jnp.float32)
+        else:
+            not_self = jg != own
+        mask = rod_ok & not_self & (d2u < h2)
         if gate is not None:
             mask = mask & gate
 

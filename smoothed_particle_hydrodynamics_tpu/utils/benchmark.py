@@ -30,6 +30,12 @@ def run_benchmark(scene: str = "disk", backend: str = "celllist",
     from ..ops.step import drive_loop
 
     cfg, state = make_scene(scene, **(overrides or {}))
+    if backend == "pallas" and cfg.pallas_window_t == 0:
+        # 0 = auto, resolved from this scene's actual rod-window lengths
+        # (capped-aware), same as the CLI
+        from ..ops.pallas_step_t import derive_window_t
+
+        cfg = cfg.replace(pallas_window_t=derive_window_t(cfg, state))
 
     if lazy:
         from ..ops.lazy import drive_loop_lazy
@@ -70,6 +76,64 @@ def run_benchmark(scene: str = "disk", backend: str = "celllist",
         "warmup_s": compile_s,
         "device": str(device),
         "platform": device.platform,
+    }
+
+
+def run_slab_benchmark(n: int = 1_000_000, steps: int = 15, warmup: int = 3,
+                       sweeps: str = "pallas",
+                       overrides: dict | None = None) -> dict:
+    """Distributed slab engine on a 1-device mesh of the CURRENT chip.
+
+    Measures the per-chip step-time constant of the production distributed
+    path (local sort + frozen windows + halo/migration machinery with inert
+    chain ends) so the multi-chip scale-out claim has a measured per-chip
+    datum: D-chip throughput ~= D * (1e3 / ms_per_step) * n (minus halo
+    growth, which the 8-CPU dryrun exercises functionally).
+    """
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from ..parallel import slabs
+
+    ov = dict(num_particles=n, cell_size_factor=1.25)
+    ov.update(overrides or {})
+    cfg, state = make_scene("splash", **ov)
+    if cfg.pallas_window_t == 0 or "pallas_window_t" not in ov:
+        from ..ops.pallas_step_t import derive_window_t
+
+        cfg = cfg.replace(pallas_window_t=derive_window_t(cfg, state))
+    mesh = Mesh(np.asarray(jax.devices()[:1]), ("data",))
+    zsplit = slabs.derive_zsplit(cfg, state, 1)
+    p_cap, h_cap, m_cap = slabs.derive_slab_caps(cfg, state, 1, zsplit=zsplit)
+    carry = slabs.distribute(cfg, state, mesh, p_cap, zsplit=zsplit)
+    step = slabs.make_slab_step(cfg, mesh, p_cap, h_cap, m_cap,
+                                sweeps=sweeps, zsplit=zsplit, donate=True)
+
+    t0 = time.perf_counter()
+    for _ in range(max(warmup, 1)):
+        carry, diag = step(carry)
+    _sync(carry.fields)
+    compile_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        carry, diag = step(carry)
+    _sync(carry.fields)
+    elapsed = time.perf_counter() - t0
+    return {
+        "metric": "slab-engine particle-steps/sec/chip (1-device mesh)",
+        "value": n * steps / elapsed,
+        "ms_per_step": elapsed * 1000.0 / steps,
+        "num_particles": n,
+        "steps": steps,
+        "sweeps": sweeps,
+        "p_cap": p_cap, "h_cap": h_cap, "m_cap": m_cap,
+        "window_t": cfg.pallas_window_t,
+        "rebins": int(np.asarray(carry.rebin_count)[0]),
+        "migration_dropped": int(diag.migration_dropped),
+        "halo_dropped": int(diag.halo_dropped),
+        "warmup_s": compile_s,
+        "device": str(jax.devices()[0]),
     }
 
 
