@@ -328,15 +328,52 @@ def _pallas_density_local(cfg: SphConfig, ext, cid_ext, ws, wc, h_cap: int,
         pl.BlockSpec((1, pt.BLANE), lambda i, *_: (0, i),
                      memory_space=pt.pltpu.VMEM),
     )
-    rho, nc = pl.pallas_call(
-        _partial(pt._density_kernel_t, cfg, s_t, h_cap // pt.BLANE),
-        out_shape=(jax.ShapeDtypeStruct((1, p_cap), jnp.float32),
-                   jax.ShapeDtypeStruct((1, p_cap), jnp.int32)),
-        grid_spec=pt._grid_spec_t(nblocks, 5, s_t, cfg.pallas_groups,
-                                  out_specs),
-        interpret=cfg.pallas_interpret,
-    )(ws, wc, ref, fields, selfrows)
+    rho, nc = _slab_chunked_call(
+        cfg, pt._density_kernel_t, 5, s_t, h_cap, nblocks, ws, wc, ref,
+        fields, selfrows, out_specs,
+        lambda rows: (jax.ShapeDtypeStruct((1, rows), jnp.float32),
+                      jax.ShapeDtypeStruct((1, rows), jnp.int32)))
     return rho.reshape(p_cap), nc.reshape(p_cap)
+
+
+def _slab_chunked_call(cfg, kernel, nself, s_t, h_cap, nblocks, ws, wc, ref,
+                       fields, selfrows, out_specs, make_out_shape):
+    """pallas_call over the local blocks in SMEM-budgeted chunks.
+
+    The scalar-prefetch tables (ws/wc/ref) live in SMEM: one call over all
+    p_cap/128 blocks at 1M+ rows overflows the budget and faults the TPU
+    worker (measured — a single 11.7k-block call crashed the chip; the
+    single-chip path has always chunked via _run_chunked's MAX_BLOCKS).
+    ``block_base`` keeps `own` = extended-frame row across chunks.
+    """
+    from functools import partial as _partial
+
+    from jax.experimental import pallas as pl
+
+    from ..ops import pallas_step_t as pt
+
+    G = cfg.pallas_groups
+    nr = len(pt._RODS)
+    MAX_BLOCKS = (256 << 10) // (nr * G * 4)
+    parts = []
+    for base in range(0, nblocks, MAX_BLOCKS):
+        nb_c = min(MAX_BLOCKS, nblocks - base)
+        sl = slice(base * G * nr, (base + nb_c) * G * nr)
+        out = pl.pallas_call(
+            _partial(kernel, cfg, s_t, h_cap // pt.BLANE + base),
+            out_shape=make_out_shape(nb_c * pt.BLANE),
+            grid_spec=pt._grid_spec_t(nb_c, nself, s_t, G, out_specs),
+            interpret=cfg.pallas_interpret,
+        )(ws[sl], wc[sl],
+          jax.lax.dynamic_slice_in_dim(ref, base * 3, nb_c * 3),
+          fields,
+          jax.lax.dynamic_slice_in_dim(selfrows, base * pt.BLANE,
+                                       nb_c * pt.BLANE, axis=1))
+        parts.append(out)
+    if isinstance(parts[0], (tuple, list)):
+        return tuple(jnp.concatenate([p[k] for p in parts], axis=1)
+                     for k in range(len(parts[0])))
+    return jnp.concatenate(parts, axis=1)
 
 
 def _pallas_force_local(cfg: SphConfig, ext, cid_ext, rho_e, rho_l, ws, wc,
@@ -375,15 +412,12 @@ def _pallas_force_local(cfg: SphConfig, ext, cid_ext, rho_e, rho_l, ws, wc,
          rho_l[:, None], cid_f[loc][:, None]], axis=1).T
     first = jnp.arange(nblocks, dtype=jnp.int32) * pt.BLANE + h_cap
     ref = ext[first, 0:3].reshape(-1)
-    acc_rows = pl.pallas_call(
-        _partial(pt._force_kernel_t, cfg, s_t, h_cap // pt.BLANE),
-        out_shape=jax.ShapeDtypeStruct((3, p_cap), jnp.float32),
-        grid_spec=pt._grid_spec_t(nblocks, 9, s_t, cfg.pallas_groups,
-                                  pl.BlockSpec((3, pt.BLANE),
-                                               lambda i, *_: (0, i),
-                                               memory_space=pt.pltpu.VMEM)),
-        interpret=cfg.pallas_interpret,
-    )(ws, wc, ref, fields, selfrows)
+    acc_rows = _slab_chunked_call(
+        cfg, pt._force_kernel_t, 9, s_t, h_cap, nblocks, ws, wc, ref,
+        fields, selfrows,
+        pl.BlockSpec((3, pt.BLANE), lambda i, *_: (0, i),
+                     memory_space=pt.pltpu.VMEM),
+        lambda rows: jax.ShapeDtypeStruct((3, rows), jnp.float32))
     acc = acc_rows.T
     pos_l = ext[loc, 0:3]
     acc = acc + physics.central_gravity(cfg, pos_l)
