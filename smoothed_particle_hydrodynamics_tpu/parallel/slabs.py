@@ -269,18 +269,64 @@ def _pallas_ext_pad(cfg: SphConfig, h_cap: int, p_cap: int) -> int:
     return pt._round_up(p_cap + 2 * h_cap + cfg.pallas_window_t, pt.LANE)
 
 
-def _pallas_tables(cfg: SphConfig, cid_loc, cid_ext, h_cap: int, p_cap: int):
+def _pallas_tables(cfg: SphConfig, cid_loc, cid_ext, h_cap: int, p_cap: int,
+                   cnt, slab_hi):
     """Frozen per-(block, group, rod) window tables for the pallas sweeps.
 
-    Built once per rebin (they only depend on the sorted cell ids, which are
-    frozen between rebins); reused by both sweeps every step."""
+    Built once per rebin (frozen between rebins).  Unlike the single-chip
+    helper, this is DEAD-ROW AWARE: the slab store's [cnt, p_cap) tail rows
+    carry sort cid slab_hi-1 (a REAL cell — required to keep the extended
+    array globally ascending), so a naive histogram makes every window that
+    touches the slab's top cell span the whole dead run.  At 1M on one
+    device that is ~500k junk rows per window for ~3900 dead blocks — the
+    step ran so long the TPU worker watchdog killed it (measured r3).  Here
+    the histogram EXCLUDES dead rows and window bounds re-add the dead-run
+    offset positionally:
+
+      start(cell c) = cum_nodead[c]      + n_dead * [c >= slab_hi]
+      end(cell h+1) = cum_nodead[h + 1]  + n_dead * [h + 1 >= slab_hi + 1]
+
+    (a window ending exactly at the slab's top cell stops at the live rows;
+    one reaching the halo starts after the dead run).  Fully-dead blocks get
+    zero chunks.  The rare window that genuinely straddles the boundary
+    (lo < slab_hi <= hi: the valid->dead transition block) still walks the
+    dead run — one block per device, masked junk, bounded cost.
+    """
     from ..ops import pallas_step_t as pt
 
     nblocks = p_cap // pt.BLANE
-    ws, wc = pt._block_windows_t(cfg, cid_loc, nblocks, cfg.pallas_window_t,
-                                 p_cap, _pallas_ext_pad(cfg, h_cap, p_cap),
-                                 cid_search=cid_ext)
-    return ws.reshape(-1), wc.reshape(-1)
+    window = cfg.pallas_window_t
+    n_pad = _pallas_ext_pad(cfg, h_cap, p_cap)
+    g = cfg.pallas_groups
+    grows = pt.BLANE // g
+    deltas = jnp.asarray([(dz * cfg.grid_ny + dy) * cfg.grid_nx
+                          for dy, dz in pt._RODS], jnp.int32)
+    groups = cid_loc.reshape(nblocks * g, grows)   # p_cap is 128-aligned
+    lo_cell = jnp.clip(groups[:, 0][:, None] + deltas[None, :] - 1,
+                       0, cfg.num_cells - 1)
+    hi_cell = jnp.clip(groups[:, -1][:, None] + deltas[None, :] + 1,
+                       0, cfg.num_cells - 1)
+    e = cid_ext.shape[0]
+    n_dead = (p_cap - cnt).astype(jnp.int32)
+    pos = jnp.arange(e, dtype=jnp.int32)
+    dead = (pos >= h_cap + cnt) & (pos < h_cap + p_cap)
+    search = jnp.where(dead, cfg.num_cells, jnp.clip(cid_ext, 0, cfg.num_cells))
+    counts = jnp.bincount(search, length=cfg.num_cells + 1)
+    cum = jnp.concatenate([jnp.zeros((1,), counts.dtype),
+                           jnp.cumsum(counts)]).astype(jnp.int32)
+    w_start = cum[lo_cell] + jnp.where(lo_cell >= slab_hi, n_dead, 0)
+    w_end = cum[hi_cell + 1] + jnp.where(hi_cell + 1 >= slab_hi + 1,
+                                         n_dead, 0)
+    w_start = jnp.clip(w_start & ~(pt.SUB - 1), 0, max(n_pad - window, 0))
+    w_len = jnp.maximum(w_end - w_start, 0)
+    w_chunks = jnp.where(w_len > 0, -(-w_len // window), 0)
+    # fully-dead blocks (first row >= cnt) need no physics at all
+    first_row = (jnp.arange(nblocks * g, dtype=jnp.int32) // g) * pt.BLANE
+    live_block = (first_row < cnt)[:, None]
+    w_start = jnp.where(live_block, w_start, 0)
+    w_chunks = jnp.where(live_block, w_chunks, 0)
+    return (w_start.astype(jnp.int32).reshape(-1),
+            w_chunks.astype(jnp.int32).reshape(-1))
 
 
 def _pallas_density_local(cfg: SphConfig, ext, cid_ext, ws, wc, h_cap: int,
@@ -601,7 +647,8 @@ def slab_step_body(cfg: SphConfig, ndev: int, p_cap: int, h_cap: int,
     row_valid = ext[h_cap:h_cap + p_cap, _OID] >= 0.0
     if sweeps == "pallas":
         def build_tabs(_):
-            return _pallas_tables(cfg, cid_s, cid_ext, h_cap, p_cap)
+            return _pallas_tables(cfg, cid_s, cid_ext, h_cap, p_cap,
+                                  cnt2, slab_hi)
     else:
         def build_tabs(_):
             return _local_ranges(cfg, cid_ext, cid_s, row_valid,
