@@ -854,6 +854,10 @@ def make_slab_step(cfg: SphConfig, mesh: Mesh, p_cap: int, h_cap: int,
                          "planes per device")
     if sweeps not in ("celllist", "pallas"):
         raise ValueError(f"unknown sweeps engine: {sweeps!r}")
+    if cfg.capped_candidates:
+        raise ValueError("capped_candidates is single-chip only for now "
+                         "(the slab engine does not subsample its candidate "
+                         "arrays; running it here would silently be exact)")
     if sweeps == "pallas":
         if p_cap % 128 or h_cap % 128:
             raise ValueError("pallas sweeps need p_cap and h_cap % 128 == 0")

@@ -80,7 +80,7 @@ def run_benchmark(scene: str = "disk", backend: str = "celllist",
 
 
 def run_slab_benchmark(n: int = 1_000_000, steps: int = 15, warmup: int = 3,
-                       sweeps: str = "pallas",
+                       sweeps: str = "pallas", headroom: float = 1.05,
                        overrides: dict | None = None) -> dict:
     """Distributed slab engine on a 1-device mesh of the CURRENT chip.
 
@@ -104,7 +104,11 @@ def run_slab_benchmark(n: int = 1_000_000, steps: int = 15, warmup: int = 3,
         cfg = cfg.replace(pallas_window_t=derive_window_t(cfg, state))
     mesh = Mesh(np.asarray(jax.devices()[:1]), ("data",))
     zsplit = slabs.derive_zsplit(cfg, state, 1)
-    p_cap, h_cap, m_cap = slabs.derive_slab_caps(cfg, state, 1, zsplit=zsplit)
+    # tight headroom: p_cap directly sets swept block count (dead blocks
+    # still ride the grid); real multi-device runs keep caps fresh via
+    # maybe_rebalance, so the per-chip constant is measured at working caps
+    p_cap, h_cap, m_cap = slabs.derive_slab_caps(cfg, state, 1, zsplit=zsplit,
+                                                 headroom=headroom)
     carry = slabs.distribute(cfg, state, mesh, p_cap, zsplit=zsplit)
     step = slabs.make_slab_step(cfg, mesh, p_cap, h_cap, m_cap,
                                 sweeps=sweeps, zsplit=zsplit, donate=True)
