@@ -105,6 +105,21 @@ def test_run_multidevice_slab_pallas(tmp_path):
     assert os.path.exists(f"{out}/energy.txt")
 
 
+def test_run_capped_mode(tmp_path):
+    """--set capped_candidates drives the subsets mode through the CLI
+    (pallas backend, interpret on CPU, lazy driver)."""
+    out = str(tmp_path / "outc")
+    rc = main(["run", "--scene", "dam_break", "-n", "2048", "--steps", "3",
+               "--block", "3", "--backend", "pallas", "--out", out,
+               "--set", "grid_nx=16", "--set", "grid_ny=16",
+               "--set", "grid_nz=16", "--set", "cell_size_factor=1.25",
+               "--set", "pallas_interpret=true", "--set", "pallas_window_t=0",
+               "--set", "capped_candidates=8", "--quiet"])
+    assert rc == 0
+    rows = open(f"{out}/energy.txt").read().splitlines()
+    assert rows[-1].startswith("2, ")
+
+
 def test_sweep_grid(tmp_path, capsys):
     """The viscosity x stiffness sweep harness (BASELINE config 4): one JSON
     record per grid cell; the reference's own regime (high viscosity, low
