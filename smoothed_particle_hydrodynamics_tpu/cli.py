@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -339,6 +340,16 @@ def cmd_run(args) -> int:
                 from .utils.render import render_frame
 
                 frames.append(render_frame(cfg, state))
+            if args.live:
+                # the reference repaints at 60 FPS while the sim runs
+                # (/root/reference/src/visualization.cpp:24-33); here the
+                # latest frame is re-rendered every block and swapped in
+                # atomically — point any image viewer/watcher at the file
+                from .utils.render import render_frame, save_png
+
+                tmp = args.live + ".tmp"
+                save_png(render_frame(cfg, state), tmp)
+                os.replace(tmp, args.live)
             if not args.quiet:
                 pps = cfg.num_particles * nblock / max(time.perf_counter() - t0, 1e-9)
                 print(f"step {done}/{total}  {dt_ms:.2f} ms/step  "
@@ -540,6 +551,10 @@ def main(argv=None) -> int:
     p.add_argument("--resume", action="store_true")
     p.add_argument("--render", action="store_true", help="accumulate GIF frames")
     p.add_argument("--render-every", type=int, default=10)
+    p.add_argument("--live", default="",
+                   help="re-render the CURRENT state to this PNG every "
+                        "block (atomic swap) — the reference's live "
+                        "repaint loop, viewer-poll style")
     p.add_argument("--devices", type=int, default=0,
                    help="run sharded over the first N devices (0 = single)")
     p.add_argument("--rebalance-threshold", type=float, default=1.5,

@@ -105,6 +105,17 @@ def test_run_multidevice_slab_pallas(tmp_path):
     assert os.path.exists(f"{out}/energy.txt")
 
 
+def test_run_live_frame(tmp_path):
+    """--live re-renders the current state every block (the reference's
+    repaint-while-running loop, viewer-poll style)."""
+    out = str(tmp_path / "outl")
+    live = str(tmp_path / "live.png")
+    rc = main(["run", "--scene", "disk", "-n", "512", "--steps", "4",
+               "--block", "2", "--out", out, "--live", live, "--quiet"])
+    assert rc == 0
+    assert os.path.getsize(live) > 100
+
+
 def test_run_capped_mode(tmp_path):
     """--set capped_candidates drives the subsets mode through the CLI
     (pallas backend, interpret on CPU, lazy driver)."""
