@@ -347,7 +347,7 @@ def cmd_run(args) -> int:
                 # atomically — point any image viewer/watcher at the file
                 from .utils.render import render_frame, save_png
 
-                tmp = args.live + ".tmp"
+                tmp = args.live + ".tmp.png"  # suffix keeps the encoder happy
                 save_png(render_frame(cfg, state), tmp)
                 os.replace(tmp, args.live)
             if not args.quiet:
