@@ -78,16 +78,18 @@ def main() -> int:
     on_tpu = jax.devices()[0].platform.lower() != "cpu"
     if not args.no_capped and backend == "pallas" and on_tpu:
         # the reference's "Subsets" strategy as a first-class speed dial:
-        # K_c=8 per cell, mass-reweighted (density mean-unbiased, measured
-        # rel-L2 noise ~0.18 vs the exact sweep — docs/PERFORMANCE.md r3)
+        # K_c=4 per cell, mass-reweighted (density mean-unbiased, measured
+        # rel-L2 noise ~0.36 vs the exact sweep — docs/PERFORMANCE.md r3;
+        # K_c=8 measured ~neutral at 1M, so the recorded dial is the one
+        # that actually buys throughput)
         capped = run_benchmark(
-            scene=args.scene, backend="pallas", steps=max(args.steps // 2, 10),
+            scene=args.scene, backend="pallas", steps=max(args.steps // 3, 10),
             warmup=args.warmup,
-            overrides=dict(overrides, capped_candidates=8, pallas_window_t=0,
+            overrides=dict(overrides, capped_candidates=4, pallas_window_t=0,
                            cell_size_factor=1.25),
             lazy=True)
-        line["capped_k8"] = {k: capped[k] for k in
-                            ("value", "ms_per_step", "steps")}
+        line["capped_k4"] = {k: capped[k] for k in
+                             ("value", "ms_per_step", "steps")}
     if not args.no_slab and on_tpu:
         # per-chip constant of the DISTRIBUTED path (1-device mesh, real
         # chip): grounds the multi-chip scale-out claim with a measured datum
