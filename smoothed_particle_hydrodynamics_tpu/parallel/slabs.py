@@ -310,13 +310,20 @@ def _pallas_tables(cfg: SphConfig, cid_loc, cid_ext, h_cap: int, p_cap: int,
     n_dead = (p_cap - cnt).astype(jnp.int32)
     pos = jnp.arange(e, dtype=jnp.int32)
     dead = (pos >= h_cap + cnt) & (pos < h_cap + p_cap)
-    search = jnp.where(dead, cfg.num_cells, jnp.clip(cid_ext, 0, cfg.num_cells))
+    # chain-end inert left-halo rows carry cid -1; clipping them into cell 0
+    # made every bottom-plane block's -z rods sweep all h_cap inert rows
+    # (~14 ms at 1M on device 0 — measured r3).  Exclude them via the
+    # sentinel bucket and shift every bound by their count (they sit at the
+    # array head, before every real position).
+    inert = dead | (cid_ext < 0)
+    n_head = jnp.sum((cid_ext[:h_cap] < 0).astype(jnp.int32))
+    search = jnp.where(inert, cfg.num_cells, jnp.clip(cid_ext, 0, cfg.num_cells))
     counts = jnp.bincount(search, length=cfg.num_cells + 1)
     cum = jnp.concatenate([jnp.zeros((1,), counts.dtype),
                            jnp.cumsum(counts)]).astype(jnp.int32)
-    w_start = cum[lo_cell] + jnp.where(lo_cell >= slab_hi, n_dead, 0)
-    w_end = cum[hi_cell + 1] + jnp.where(hi_cell + 1 >= slab_hi + 1,
-                                         n_dead, 0)
+    w_start = n_head + cum[lo_cell] + jnp.where(lo_cell >= slab_hi, n_dead, 0)
+    w_end = n_head + cum[hi_cell + 1] + jnp.where(hi_cell + 1 >= slab_hi + 1,
+                                                  n_dead, 0)
     w_start = jnp.clip(w_start & ~(pt.SUB - 1), 0, max(n_pad - window, 0))
     w_len = jnp.maximum(w_end - w_start, 0)
     w_chunks = jnp.where(w_len > 0, -(-w_len // window), 0)
