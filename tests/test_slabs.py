@@ -274,6 +274,45 @@ def test_lazy_slab_pallas_freezes_and_matches():
                                rtol=1e-5, atol=1e-6)
 
 
+def test_slab_window_tables_exclude_dead_and_inert_rows():
+    """The store's dead tail (cid slab_hi-1) and chain-end inert halos
+    (cid -1 / num_cells) must not inflate pallas window tables: at 1M scale
+    the polluted windows swept ~500k junk rows per top-cell window and all
+    h_cap inert rows per bottom-cell window (r3 hardware findings — the
+    first stalled the TPU worker until the watchdog killed it)."""
+    import jax.numpy as jnp
+
+    from smoothed_particle_hydrodynamics_tpu.parallel.slabs import (
+        _pallas_tables)
+
+    cfg, state = _scene(n=4096, pallas_window_t=64)
+    cfg = cfg.replace(pallas_window_t=64)
+    nxny = cfg.grid_nx * cfg.grid_ny
+    slab_hi = cfg.grid_nz * nxny          # 1-device slab = whole grid
+    p_cap, h_cap = 1024, 128
+    cnt = 500                             # 524 dead rows
+    rng = np.random.default_rng(0)
+    # valid rows concentrated in the TOP cells so windows touch slab_hi-1
+    cid_valid = np.sort(rng.integers(slab_hi - 3 * nxny, slab_hi, cnt))
+    cid_local = np.concatenate(
+        [cid_valid, np.full(p_cap - cnt, slab_hi - 1)]).astype(np.int32)
+    cid_ext = np.concatenate([
+        np.full(h_cap, -1, np.int32),             # chain-end left halo
+        cid_local,
+        np.full(h_cap, cfg.num_cells, np.int32),  # chain-end right halo
+    ])
+    ws, wc = _pallas_tables(cfg, jnp.asarray(cid_local),
+                            jnp.asarray(cid_ext), h_cap, p_cap,
+                            jnp.int32(cnt), jnp.int32(slab_hi))
+    wc = np.asarray(wc).reshape(p_cap // 128, 9)
+    ws = np.asarray(ws).reshape(p_cap // 128, 9)
+    # fully-dead blocks (first row >= cnt): no chunks at all
+    assert (wc[4:] == 0).all(), wc
+    # live blocks: no window may span the ~524-row dead run (occupancy here
+    # is ~170 rows/cell worst case; 8 chunks of 64 bounds every real window)
+    assert wc[:4].max() <= 8, wc[:4]
+
+
 def test_dynamic_rebalance_prevents_overflow():
     """Mass streaming toward the box floor overloads the t=0 partition: the
     static split overflows p_cap (counted drops), while host-side
