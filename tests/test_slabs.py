@@ -318,7 +318,6 @@ def test_dynamic_rebalance_prevents_overflow():
     static split overflows p_cap (counted drops), while host-side
     maybe_rebalance at block boundaries re-derives the split + caps from the
     CURRENT histogram and the same run completes clean."""
-    import math as _math
 
     steps, block = 12, 2
     cfg, state = _scene()
