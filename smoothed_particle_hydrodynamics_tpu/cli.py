@@ -105,6 +105,14 @@ def cmd_run(args) -> int:
 
         cfg = cfg.replace(pallas_window_t=derive_window_t(cfg, state))
         print(f"derived pallas_window_t={cfg.pallas_window_t}")
+    if (args.backend == "pallas" and cfg.capped_candidates
+            and cfg.capped_sub_len == 0):
+        # auto sub-frame bound: kept-count from the occupancy histogram
+        from .ops.pallas_step_t import derive_sub_len
+
+        cfg = cfg.replace(capped_sub_len=derive_sub_len(cfg, state))
+        if cfg.capped_sub_len:
+            print(f"derived capped_sub_len={cfg.capped_sub_len}")
     if cfg.range_slice == 0:
         # auto candidate-slice: size from this scene's 3-cell occupancy
         from .ops.celllist import derive_range_slice

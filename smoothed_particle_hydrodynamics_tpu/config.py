@@ -119,6 +119,12 @@ class SphConfig:
     # reference truncates without reweighting — set False for that semantic).
     capped_candidates: int = 0
     capped_reweight: bool = True
+    # static length of the subsampled candidate frame (0 = N, always safe).
+    # The kept count is ~N*min(1, K_c/occupancy); sizing the frame near it
+    # (derive_sub_len: 1.15x margin) shrinks the per-step candidate gathers
+    # and pad writes proportionally.  Overflow (kept > capped_sub_len) drops
+    # the tail cells' candidates — COUNTED in truncated_ranges, never silent.
+    capped_sub_len: int = 0
 
     # ---------------------------------------------------------------------------
     # Derived constants (float32-faithful to /root/reference/src/sph.cpp:46-95)
@@ -221,6 +227,9 @@ class SphConfig:
             raise ValueError("compat mode requires the reference's 2h cells")
         if self.capped_candidates < 0:
             raise ValueError("capped_candidates must be >= 0 (0 = off)")
+        if self.capped_sub_len < 0 or self.capped_sub_len % 128:
+            raise ValueError("capped_sub_len must be a non-negative multiple "
+                             "of 128 (0 = num_particles)")
         if self.capped_candidates and self.compat:
             raise ValueError("capped_candidates is the default-mode subsets "
                              "feature; compat mode has its own bit-faithful cap")

@@ -466,9 +466,10 @@ class PreparedT(NamedTuple):
     ws: jnp.ndarray          # [nblocks*9] window starts
     wc: jnp.ndarray          # [nblocks*9] chunk counts
     ref: jnp.ndarray         # [nblocks*3] per-block reference points
-    sub_perm: jnp.ndarray | None = None    # [N] i32 sub row -> full row
-    cand_cid_f: jnp.ndarray | None = None  # [N] f32 sub cids (-10 tail)
-    wm_sub: jnp.ndarray | None = None      # [N] f32 reweighted cand mass
+    sub_perm: jnp.ndarray | None = None    # [S] i32 sub row -> full row
+    cand_cid_f: jnp.ndarray | None = None  # [S] f32 sub cids (-10 tail)
+    wm_sub: jnp.ndarray | None = None      # [S] f32 reweighted cand mass
+    sub_dropped: jnp.ndarray | None = None  # i32: kept rows beyond S (counted)
 
 
 def _validate(cfg: SphConfig) -> None:
@@ -512,6 +513,35 @@ def _run_rank_occ(cid_sorted: jnp.ndarray):
 
 def _n_pad(cfg: SphConfig, n: int) -> int:
     return _round_up(n + cfg.pallas_window_t, LANE)
+
+
+def _n_pad_rows(cfg: SphConfig, rows: int) -> int:
+    """Padded length of a candidate array of ``rows`` rows."""
+    return _round_up(rows + cfg.pallas_window_t, LANE)
+
+
+def sub_len(cfg: SphConfig, n: int) -> int:
+    """Static sub-frame length for capped mode (0 config = full N)."""
+    return min(cfg.capped_sub_len or n, n)
+
+
+def derive_sub_len(cfg: SphConfig, state: ParticleState,
+                   margin: float = 1.15) -> int:
+    """Host-side: bound the kept-candidate count from the current occupancy
+    histogram (sum of min(occ, K_c) per cell), with margin for drift between
+    rebins; 128-rounded.  Overflow is counted, never silent."""
+    import numpy as np
+
+    from .grid import cell_coords, linear_cell_id
+
+    if not cfg.capped_candidates:
+        return 0
+    cid = np.asarray(linear_cell_id(cfg, cell_coords(cfg, state.position)))
+    occ = np.bincount(cid, minlength=cfg.num_cells)
+    kept = np.minimum(occ, cfg.capped_candidates).sum()
+    n = state.position.shape[0]
+    v = -(-int(kept * margin + 128) // 128) * 128
+    return 0 if v >= n else v  # 0 = full N (no benefit from a bound)
 
 
 def derive_window_t(cfg: SphConfig, state: ParticleState,
@@ -596,15 +626,23 @@ def prepare_t(cfg: SphConfig, state: ParticleState) -> PreparedT:
     pos_s = stacked_s[:, 0:3]
     mass_s = stacked_s[:, 6]
 
-    sub_perm = cand_cid_f = wm_sub = None
+    sub_perm = cand_cid_f = wm_sub = sub_dropped = None
     if k_c:
         rank, occ = _run_rank_occ(cid_sorted)
         keep = rank < k_c
         # compact kept rows to the front, preserving cid order (stable sort)
-        _, sub_perm = jax.lax.sort(
+        _, perm_full = jax.lax.sort(
             (jnp.where(keep, 0, 1).astype(jnp.int32), iota), num_keys=1)
+        # the sub frame is statically bounded: kept count ~ N*min(1,K_c/occ),
+        # so a derived capped_sub_len shrinks the per-step gathers and pad
+        # writes; overflow drops the tail cells' candidates and is COUNTED
+        s_len = sub_len(cfg, n)
+        sub_perm = perm_full[:s_len]
         n_kept = jnp.sum(keep.astype(jnp.int32))
-        in_kept = iota < n_kept
+        sub_dropped = jnp.maximum(n_kept - s_len, 0)
+        n_kept = jnp.minimum(n_kept, s_len)
+        sub_iota = iota[:s_len]
+        in_kept = sub_iota < n_kept
         cid_sub = cid_sorted[sub_perm]
         cand_cid_f = jnp.where(in_kept, cid_sub, -10).astype(jnp.float32)
         cid_search = jnp.where(in_kept, cid_sub, cfg.num_cells)
@@ -613,11 +651,13 @@ def prepare_t(cfg: SphConfig, state: ParticleState) -> PreparedT:
         else:  # reference-faithful truncation: kept masses unscaled
             w = jnp.ones_like(mass_s)
         wm_sub = (mass_s * w)[sub_perm]
+        search_pad = _n_pad_rows(cfg, s_len)
     else:
         cid_search = cid_sorted
+        search_pad = _n_pad(cfg, n)
 
     ws, wc = _block_windows_t(cfg, cid_sorted, nblocks,
-                              cfg.pallas_window_t, n, _n_pad(cfg, n),
+                              cfg.pallas_window_t, n, search_pad,
                               cid_search=cid_search)
     first = jnp.minimum(jnp.arange(nblocks, dtype=jnp.int32) * BLANE, n - 1)
     return PreparedT(
@@ -629,6 +669,7 @@ def prepare_t(cfg: SphConfig, state: ParticleState) -> PreparedT:
         ws=ws.reshape(-1), wc=wc.reshape(-1),
         ref=pos_s[first].reshape(-1),
         sub_perm=sub_perm, cand_cid_f=cand_cid_f, wm_sub=wm_sub,
+        sub_dropped=sub_dropped,
     )
 
 
@@ -677,8 +718,8 @@ def density_sweep_t(cfg: SphConfig, p: PreparedT
     # positions as belt-and-braces).
     iota_f = jnp.arange(n, dtype=jnp.int32).astype(jnp.float32)
     if cfg.capped_candidates:
-        # subsampled candidate frame: positions gathered fresh each call
-        # (they drift between rebins), mass pre-reweighted at prepare time
+        # subsampled candidate frame (statically bounded): positions gathered
+        # fresh each call (they drift between rebins), mass pre-reweighted
         cand = jnp.concatenate(
             [p.pos_s[p.sub_perm], p.cand_cid_f[:, None],
              p.wm_sub[:, None], p.sub_perm.astype(jnp.float32)[:, None]],
@@ -687,7 +728,8 @@ def density_sweep_t(cfg: SphConfig, p: PreparedT
         cand = jnp.concatenate(
             [p.pos_s, p.cid_f[:, None], p.mass_s[:, None], iota_f[:, None]],
             axis=1)
-    pad = jnp.zeros((_n_pad(cfg, n) - n, cand.shape[1]), jnp.float32)
+    pad = jnp.zeros((_n_pad_rows(cfg, cand.shape[0]) - cand.shape[0],
+                     cand.shape[1]), jnp.float32)
     pad = pad.at[:, 0:3].set(1e30).at[:, 3].set(-10.0).at[:, 5].set(-1.0)
     cand = jnp.concatenate([cand, pad], axis=0)
     selfc = jnp.concatenate(
@@ -710,11 +752,9 @@ def force_sweep_t(cfg: SphConfig, p: PreparedT, rho_s: jnp.ndarray
                   ) -> jnp.ndarray:
     """acc_s [N,3] in sorted order (hydro only; gravity/CFL added by caller)."""
     n = p.pos_s.shape[0]
-    n_pad = _n_pad(cfg, n)
-    ones = jnp.ones((n, 1), jnp.float32)
     if cfg.capped_candidates:
-        # one stacked gather into the subsampled frame per step: positions,
-        # velocities and densities all change between rebins
+        # one stacked gather into the (statically bounded) subsampled frame
+        # per step: positions, velocities and densities all change
         g = jnp.concatenate([p.pos_s, p.vel_s, rho_s[:, None]],
                             axis=1)[p.sub_perm]
         pos_c, vel_c, rho_c = g[:, 0:3], g[:, 3:6], g[:, 6]
@@ -725,6 +765,7 @@ def force_sweep_t(cfg: SphConfig, p: PreparedT, rho_s: jnp.ndarray
         pos_c, vel_c, rho_c, m_c = p.pos_s, p.vel_s, rho_s, p.mass_s
         cid_c = p.cid_f
         src_f = jnp.arange(n, dtype=jnp.int32).astype(jnp.float32)
+    ones = jnp.ones((pos_c.shape[0], 1), jnp.float32)
     rhoj_inv = 1.0 / jnp.where(rho_c > 0.0, rho_c, 1.0)
     p_j = (rho_c - _f32(cfg.rho0)) * _f32(cfg.stiffness)
     rimj = rhoj_inv * m_c
@@ -733,7 +774,8 @@ def force_sweep_t(cfg: SphConfig, p: PreparedT, rho_s: jnp.ndarray
         [pos_c, ones, rimj[:, None] * vel_c, rimj[:, None],
          cid_c[:, None], m_c[:, None], mjpwj[:, None], src_f[:, None]],
         axis=1)
-    pad = jnp.zeros((n_pad - n, cand.shape[1]), jnp.float32)
+    pad = jnp.zeros((_n_pad_rows(cfg, cand.shape[0]) - cand.shape[0],
+                     cand.shape[1]), jnp.float32)
     pad = pad.at[:, 0:3].set(1e30).at[:, 8].set(-10.0).at[:, 11].set(-1.0)
     cand = jnp.concatenate([cand, pad], axis=0)
     selfc = jnp.concatenate(
@@ -776,8 +818,10 @@ def compute_step_quantities(cfg: SphConfig, state: ParticleState
     aux = celllist.CellListAux(
         neighbor_count=ncount,
         # this backend has no per-cell capacity: binning cannot overflow and
-        # long windows are walked exactly by the multi-chunk tail
+        # long windows are walked exactly by the multi-chunk tail; the only
+        # counted loss is a capped sub-frame overflowing capped_sub_len
         overflow_cells=jnp.zeros((), jnp.int32),
-        truncated_ranges=jnp.zeros((), jnp.int32),
+        truncated_ranges=(p.sub_dropped if p.sub_dropped is not None
+                          else jnp.zeros((), jnp.int32)),
     )
     return acc, rho, aux

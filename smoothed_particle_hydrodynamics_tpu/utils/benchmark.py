@@ -36,6 +36,11 @@ def run_benchmark(scene: str = "disk", backend: str = "celllist",
         from ..ops.pallas_step_t import derive_window_t
 
         cfg = cfg.replace(pallas_window_t=derive_window_t(cfg, state))
+    if (backend == "pallas" and cfg.capped_candidates
+            and cfg.capped_sub_len == 0):
+        from ..ops.pallas_step_t import derive_sub_len
+
+        cfg = cfg.replace(capped_sub_len=derive_sub_len(cfg, state))
 
     if lazy:
         from ..ops.lazy import drive_loop_lazy

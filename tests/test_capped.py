@@ -109,6 +109,31 @@ def test_lazy_driver_runs_capped():
                                float(d_eager.kinetic_energy[0]), rtol=1e-6)
 
 
+def test_capped_sub_len_bound_and_overflow_counted():
+    """capped_sub_len statically bounds the sub frame: a derived bound must
+    reproduce the unbounded results exactly (same kept set), while an
+    undersized bound drops tail candidates and COUNTS them."""
+    from smoothed_particle_hydrodynamics_tpu.ops.pallas_step_t import (
+        derive_sub_len)
+
+    cfg, state = _dense_scene(capped_candidates=8)
+    _, rho_full, aux_full = pallas_step_t.compute_step_quantities(cfg, state)
+    assert int(aux_full.truncated_ranges) == 0
+
+    derived = derive_sub_len(cfg, state)
+    if derived:  # scene dense enough for a bound below N
+        cfg_d = cfg.replace(capped_sub_len=derived)
+        _, rho_d, aux_d = pallas_step_t.compute_step_quantities(cfg_d, state)
+        assert int(aux_d.truncated_ranges) == 0, "derived bound overflowed"
+        np.testing.assert_allclose(np.asarray(rho_d), np.asarray(rho_full),
+                                   rtol=1e-6, atol=1e-7)
+
+    cfg_s = cfg.replace(capped_sub_len=256)   # far below the kept count
+    _, rho_s, aux_s = pallas_step_t.compute_step_quantities(cfg_s, state)
+    assert int(aux_s.truncated_ranges) > 0, "overflow must be counted"
+    assert np.isfinite(np.asarray(rho_s)).all()
+
+
 def test_capped_rejected_outside_sublane_layout():
     cfg, state = _dense_scene(capped_candidates=8)
     from smoothed_particle_hydrodynamics_tpu.ops import pallas_step
