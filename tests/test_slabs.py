@@ -6,7 +6,6 @@ path per particle id, (2) per-device memory is O(N/D + caps) by construction
 misses are counted in diagnostics, never silent.
 """
 
-import math
 from functools import partial
 
 import jax
