@@ -154,6 +154,13 @@ def cmd_run(args) -> int:
             # "pallas", before the devices branch)
             slab_sweeps = "pallas" if args.backend == "pallas" else "celllist"
             zsplit = derive_zsplit(cfg, state, args.devices)
+            slab_sub = None
+            if slab_sweeps == "pallas" and cfg.capped_candidates:
+                from .parallel.slabs import derive_sub_len_slab
+
+                slab_sub = derive_sub_len_slab(cfg, state, args.devices,
+                                               zsplit)
+                print(f"derived slab sub_len={slab_sub}")
             caps = derive_slab_caps(cfg, state, args.devices, zsplit=zsplit)
             slab_ctx = {"carry": distribute(cfg, state, mesh, caps[0],
                                             zsplit=zsplit),
@@ -162,7 +169,8 @@ def cmd_run(args) -> int:
             def make_run(run_cfg):
                 slab_step = make_slab_step(run_cfg, mesh, *slab_ctx["caps"],
                                            zsplit=slab_ctx["zsplit"],
-                                           sweeps=slab_sweeps)
+                                           sweeps=slab_sweeps,
+                                           sub_len=slab_sub)
 
                 def run(s, num_steps):
                     carry = slab_ctx["carry"]

@@ -336,6 +336,100 @@ def _pallas_tables(cfg: SphConfig, cid_loc, cid_ext, h_cap: int, p_cap: int,
             w_chunks.astype(jnp.int32).reshape(-1))
 
 
+def _sub_pad(cfg: SphConfig, sub_len: int) -> int:
+    from ..ops import pallas_step_t as pt
+
+    return pt._round_up(sub_len + cfg.pallas_window_t, pt.LANE)
+
+
+def _capped_sub_frame(cfg: SphConfig, ext, cid_ext, sub_len: int,
+                      slab_lo, slab_hi):
+    """Kept-candidate sub frame over the EXTENDED array (capped mode).
+
+    The subsample policy is the single-chip one — K_c lowest ``hash(oid)``
+    per cell — and oid is the GLOBAL original particle id, so every device
+    (and the halo sender/receiver pair) selects the SAME kept set for any
+    cell whose members are fully visible; adjacent-plane halo cells are
+    fully shipped whenever h_cap covers the plane (misses are counted in
+    halo_dropped).  Inert/dead rows (oid < 0) are never kept, so the capped
+    sub frame needs none of the dead-run positional offsets the exact path's
+    window tables carry.
+
+    Returns (sub_src [S] ext-row per sub slot, cand_cid_f [S],
+    cid_search [S], w_sub [S], sub_dropped scalar).
+    """
+    from ..ops import pallas_step_t as pt
+
+    e = ext.shape[0]
+    oid = ext[:, _OID].astype(jnp.int32)
+    nxny = cfg.grid_nx * cfg.grid_ny
+    # only cells this device can ever query (own slab +- one halo plane) may
+    # contribute candidates; deeper tail-window rows would otherwise bloat
+    # the sub frame past its derived bound
+    queryable = (cid_ext >= slab_lo - nxny) & (cid_ext < slab_hi + nxny)
+    valid = (oid >= 0) & queryable
+    big = jnp.int32(cfg.num_cells)
+    key = jnp.where(valid, jnp.clip(cid_ext, 0, cfg.num_cells - 1), big)
+    pos = jnp.arange(e, dtype=jnp.int32)
+    key_s, _, pos_s = jax.lax.sort((key, pt._hash32(oid), pos), num_keys=2)
+    rank, occ = pt._run_rank_occ(key_s)
+    k_c = cfg.capped_candidates
+    keep_s = (rank < k_c) & (key_s < big)
+    if cfg.capped_reweight:
+        w_s = occ.astype(jnp.float32) / jnp.minimum(occ, k_c).astype(jnp.float32)
+    else:
+        w_s = jnp.ones((e,), jnp.float32)
+    _, perm2 = jax.lax.sort(
+        (jnp.where(keep_s, 0, 1).astype(jnp.int32), pos), num_keys=1)
+    take = perm2[:sub_len]
+    sub_src = pos_s[take]
+    n_kept_all = jnp.sum(keep_s.astype(jnp.int32))
+    sub_dropped = jnp.maximum(n_kept_all - sub_len, 0)
+    n_kept = jnp.minimum(n_kept_all, sub_len)
+    in_kept = jnp.arange(sub_len, dtype=jnp.int32) < n_kept
+    cid_sub = key_s[take]
+    cand_cid_f = jnp.where(in_kept, cid_sub, -10).astype(jnp.float32)
+    cid_search = jnp.where(in_kept, cid_sub, cfg.num_cells)
+    w_sub = jnp.where(in_kept, w_s[take], 0.0)
+    return sub_src, cand_cid_f, cid_search, w_sub, sub_dropped
+
+
+def _pallas_sub_tables(cfg: SphConfig, cid_loc, cid_search, sub_len: int,
+                       cnt):
+    """Window tables over the capped sub frame: kept rows only, cid-ordered
+    and compacted to the front — plain cum positions, no offsets."""
+    from ..ops import pallas_step_t as pt
+
+    p_cap = cid_loc.shape[0]
+    nblocks = p_cap // pt.BLANE
+    window = cfg.pallas_window_t
+    n_pad = _sub_pad(cfg, sub_len)
+    g = cfg.pallas_groups
+    grows = pt.BLANE // g
+    deltas = jnp.asarray([(dz * cfg.grid_ny + dy) * cfg.grid_nx
+                          for dy, dz in pt._RODS], jnp.int32)
+    groups = cid_loc.reshape(nblocks * g, grows)
+    lo_cell = jnp.clip(groups[:, 0][:, None] + deltas[None, :] - 1,
+                       0, cfg.num_cells - 1)
+    hi_cell = jnp.clip(groups[:, -1][:, None] + deltas[None, :] + 1,
+                       0, cfg.num_cells - 1)
+    counts = jnp.bincount(jnp.clip(cid_search, 0, cfg.num_cells),
+                          length=cfg.num_cells + 1)
+    cum = jnp.concatenate([jnp.zeros((1,), counts.dtype),
+                           jnp.cumsum(counts)]).astype(jnp.int32)
+    w_start = cum[lo_cell]
+    w_end = cum[hi_cell + 1]
+    w_start = jnp.clip(w_start & ~(pt.SUB - 1), 0, max(n_pad - window, 0))
+    w_len = jnp.maximum(w_end - w_start, 0)
+    w_chunks = jnp.where(w_len > 0, -(-w_len // window), 0)
+    first_row = (jnp.arange(nblocks * g, dtype=jnp.int32) // g) * pt.BLANE
+    live_block = (first_row < cnt)[:, None]
+    w_start = jnp.where(live_block, w_start, 0)
+    w_chunks = jnp.where(live_block, w_chunks, 0)
+    return (w_start.astype(jnp.int32).reshape(-1),
+            w_chunks.astype(jnp.int32).reshape(-1))
+
+
 def _pallas_density_local(cfg: SphConfig, ext, cid_ext, ws, wc, h_cap: int,
                           p_cap: int):
     """Density over local rows with the production sublane pallas kernel.
@@ -482,30 +576,121 @@ class LazySlabCarry(NamedTuple):
     """Slab store + frozen binning structure (lazy rebinning).
 
     Between rebins the row ORDER of ``fields`` is frozen (sorted by bin-time
-    cell id); only the values evolve.  ``pos_bin``/``cid``/``tab_a``/``tab_b``
-    are the frozen structure, rebuilt when the global max drift exceeds the
+    cell id); only the values evolve.  ``pos_bin``/``cid``/``tabs`` are the
+    frozen structure, rebuilt when the global max drift exceeds the
     (cell - h)/2 skin — the same invariant as the single-chip lazy driver
     (``ops.lazy`` module docstring).  Migration runs only at rebins: the skin
     bound means a boundary-crosser is < one cell-plane deep into its new slab
     when the rebin fires, so the one-hop exchange still suffices.
+
+    ``tabs`` is engine-specific: (rng_s, rng_e) for celllist sweeps,
+    (ws, wc) for the exact pallas sweeps, and (ws, wc, sub_src, cand_cid_f,
+    w_sub, sub_dropped) for capped pallas sweeps.
     """
 
     fields: jnp.ndarray       # [D*p_cap, 8] f32, bin-time sorted order
     count: jnp.ndarray        # [D] i32 valid rows per device
     pos_bin: jnp.ndarray      # [D*p_cap, 3] positions at bin time
     cid: jnp.ndarray          # [D*p_cap] i32 frozen sorted cell ids
-    tab_a: jnp.ndarray        # frozen tables: pallas ws / celllist rng_s
-    tab_b: jnp.ndarray        # frozen tables: pallas wc / celllist rng_e
+    tabs: tuple               # frozen engine tables (see docstring)
     steps_since: jnp.ndarray  # [D] i32, -1 = initial build pending
     rebin_count: jnp.ndarray  # [D] i32 total rebins so far
 
 
+def _pallas_density_local_capped(cfg: SphConfig, ext, cid_ext, ws, wc,
+                                 sub_src, cand_cid_f, w_sub,
+                                 h_cap: int, p_cap: int, sub_len: int):
+    """Density via the capped sub frame: candidates gathered through the
+    frozen kept-set each step (they drift between rebins)."""
+    from jax.experimental import pallas as pl
+
+    from ..ops import pallas_step_t as pt
+
+    sub_pad = _sub_pad(cfg, sub_len)
+    g8 = ext[sub_src]                                   # [S, 8] per step
+    m_t = g8[:, _MASS] * w_sub
+    src_f = sub_src.astype(jnp.float32)
+    cand = jnp.concatenate(
+        [g8[:, 0:3], cand_cid_f[:, None], m_t[:, None], src_f[:, None]],
+        axis=1)
+    pad = jnp.zeros((sub_pad - sub_len, 6), jnp.float32) \
+        .at[:, 0:3].set(_BIG).at[:, 3].set(-10.0).at[:, 5].set(-1.0)
+    fields = pt._pad_rows(jnp.concatenate([cand, pad], axis=0), sub_pad,
+                          pt.LANE)
+    loc = slice(h_cap, h_cap + p_cap)
+    cid_f = cid_ext.astype(jnp.float32)
+    selfrows = jnp.concatenate(
+        [ext[loc, 0:3], ext[loc, _MASS:_MASS + 1], cid_f[loc][:, None]],
+        axis=1).T
+    nblocks = p_cap // pt.BLANE
+    out_specs = (
+        pl.BlockSpec((1, pt.BLANE), lambda i, *_: (0, i),
+                     memory_space=pt.pltpu.VMEM),
+        pl.BlockSpec((1, pt.BLANE), lambda i, *_: (0, i),
+                     memory_space=pt.pltpu.VMEM),
+    )
+    rho, nc = _slab_chunked_call(
+        cfg, pt._density_kernel_t, 5, cfg.pallas_window_t, h_cap, nblocks,
+        ws, wc, jnp.zeros((nblocks * 3,), jnp.float32), fields, selfrows,
+        out_specs,
+        lambda rows: (jax.ShapeDtypeStruct((1, rows), jnp.float32),
+                      jax.ShapeDtypeStruct((1, rows), jnp.int32)))
+    return rho.reshape(p_cap), nc.reshape(p_cap)
+
+
+def _pallas_force_local_capped(cfg: SphConfig, ext, cid_ext, rho_e, rho_l,
+                               ws, wc, sub_src, cand_cid_f, w_sub,
+                               h_cap: int, p_cap: int, sub_len: int):
+    from jax.experimental import pallas as pl
+
+    from ..ops import pallas_step_t as pt
+    from ..ops import physics
+
+    sub_pad = _sub_pad(cfg, sub_len)
+    g8 = ext[sub_src]
+    rho_c = rho_e[sub_src]
+    m_t = g8[:, _MASS] * w_sub
+    rhoj_inv = 1.0 / jnp.where(rho_c > 0.0, rho_c, 1.0)
+    p_j = (rho_c - _f32(cfg.rho0)) * _f32(cfg.stiffness)
+    rimj = rhoj_inv * m_t
+    mjpwj = m_t * (p_j * rhoj_inv * rhoj_inv)
+    ones = jnp.ones((sub_len, 1), jnp.float32)
+    src_f = sub_src.astype(jnp.float32)
+    cand = jnp.concatenate(
+        [g8[:, 0:3], ones, rimj[:, None] * g8[:, 3:6], rimj[:, None],
+         cand_cid_f[:, None], m_t[:, None], mjpwj[:, None], src_f[:, None]],
+        axis=1)
+    pad = jnp.zeros((sub_pad - sub_len, cand.shape[1]), jnp.float32) \
+        .at[:, 0:3].set(_BIG).at[:, 8].set(-10.0).at[:, 11].set(-1.0)
+    fields = pt._pad_rows(jnp.concatenate([cand, pad], axis=0), sub_pad,
+                          pt.LANE)
+    loc = slice(h_cap, h_cap + p_cap)
+    cid_f = cid_ext.astype(jnp.float32)
+    selfrows = jnp.concatenate(
+        [ext[loc, 0:3], ext[loc, 3:6], ext[loc, _MASS:_MASS + 1],
+         rho_l[:, None], cid_f[loc][:, None]], axis=1).T
+    nblocks = p_cap // pt.BLANE
+    first = jnp.arange(nblocks, dtype=jnp.int32) * pt.BLANE + h_cap
+    ref = ext[first, 0:3].reshape(-1)
+    acc_rows = _slab_chunked_call(
+        cfg, pt._force_kernel_t, 9, cfg.pallas_window_t, h_cap, nblocks,
+        ws, wc, ref, fields, selfrows,
+        pl.BlockSpec((3, pt.BLANE), lambda i, *_: (0, i),
+                     memory_space=pt.pltpu.VMEM),
+        lambda rows: jax.ShapeDtypeStruct((3, rows), jnp.float32))
+    acc = acc_rows.T
+    pos_l = ext[loc, 0:3]
+    acc = acc + physics.central_gravity(cfg, pos_l)
+    acc = acc + jnp.asarray(cfg.gravity, jnp.float32)
+    return physics.cfl_clamp(cfg, acc)
+
+
 def slab_step_body(cfg: SphConfig, ndev: int, p_cap: int, h_cap: int,
                    m_cap: int, chunk: int, sweeps: str,
-                   zsplit: tuple[int, ...], lazy: bool,
+                   zsplit: tuple[int, ...], lazy: bool, sub_len: int,
                    fields: jnp.ndarray, count: jnp.ndarray,
                    pos_bin: jnp.ndarray, cid_frozen: jnp.ndarray,
-                   tab_a: jnp.ndarray, tab_b: jnp.ndarray,
+                   tabs: tuple,
                    steps_since: jnp.ndarray, rebin_count: jnp.ndarray):
     """shard_map body: one full physics step on one device's slab.
 
@@ -652,7 +837,16 @@ def slab_step_body(cfg: SphConfig, ndev: int, p_cap: int, h_cap: int,
 
     # ---- frozen window tables (rebins only) --------------------------------
     row_valid = ext[h_cap:h_cap + p_cap, _OID] >= 0.0
-    if sweeps == "pallas":
+    capped = bool(cfg.capped_candidates) and sweeps == "pallas"
+    if capped:
+        def build_tabs(_):
+            sub_src, cand_cid_f, cid_search, w_sub, dropped = \
+                _capped_sub_frame(cfg, ext, cid_ext, sub_len,
+                                  slab_lo, slab_hi)
+            ws, wc = _pallas_sub_tables(cfg, cid_s, cid_search, sub_len,
+                                        cnt2)
+            return (ws, wc, sub_src, cand_cid_f, w_sub, dropped[None])
+    elif sweeps == "pallas":
         def build_tabs(_):
             return _pallas_tables(cfg, cid_s, cid_ext, h_cap, p_cap,
                                   cnt2, slab_hi)
@@ -661,20 +855,26 @@ def slab_step_body(cfg: SphConfig, ndev: int, p_cap: int, h_cap: int,
             return _local_ranges(cfg, cid_ext, cid_s, row_valid,
                                  ext.shape[0])
 
-    tab_a2, tab_b2 = jax.lax.cond(
-        need, build_tabs, lambda _: (tab_a, tab_b), None)
+    tabs2 = jax.lax.cond(need, build_tabs, lambda _: tabs, None)
 
     # ---- sweeps ------------------------------------------------------------
     pos_i = fields_s[:, _POS]
     vel_i = fields_s[:, _VEL]
     mass_i = fields_s[:, _MASS]
 
-    if sweeps == "pallas":
-        rho_l, nc_l = _pallas_density_local(cfg, ext, cid_ext, tab_a2, tab_b2,
+    if capped:
+        ws2, wc2, sub_src, cand_cid_f, w_sub, dropped1 = tabs2
+        rho_l, nc_l = _pallas_density_local_capped(
+            cfg, ext, cid_ext, ws2, wc2, sub_src, cand_cid_f, w_sub,
+            h_cap, p_cap, sub_len)
+        trunc = dropped1[0]                    # counted sub-frame overflow
+    elif sweeps == "pallas":
+        ws2, wc2 = tabs2
+        rho_l, nc_l = _pallas_density_local(cfg, ext, cid_ext, ws2, wc2,
                                             h_cap, p_cap)
         trunc = jnp.zeros((), jnp.int32)      # exact multi-chunk tails
     else:
-        rng_s, rng_e = tab_a2, tab_b2
+        rng_s, rng_e = tabs2
         own_idx = h_cap + jnp.arange(p_cap, dtype=jnp.int32)
         pos_e, vel_e, mass_e = ext[:, _POS], ext[:, _VEL], ext[:, _MASS]
         rho_l, nc_l, trunc = celllist.density_rows(
@@ -691,9 +891,13 @@ def slab_step_body(cfg: SphConfig, ndev: int, p_cap: int, h_cap: int,
     rho_right = jnp.where(d == ndev - 1, 0.0, rho_right)
     rho_e = jnp.concatenate([rho_left, rho_l, rho_right])
 
-    if sweeps == "pallas":
+    if capped:
+        acc_l = _pallas_force_local_capped(
+            cfg, ext, cid_ext, rho_e, rho_l, ws2, wc2, sub_src, cand_cid_f,
+            w_sub, h_cap, p_cap, sub_len)
+    elif sweeps == "pallas":
         acc_l = _pallas_force_local(cfg, ext, cid_ext, rho_e, rho_l,
-                                    tab_a2, tab_b2, h_cap, p_cap)
+                                    ws2, wc2, h_cap, p_cap)
     else:
         acc_l = celllist.force_rows(
             cfg, pos_e, vel_e, mass_e, rho_e, rng_s, rng_e, own_idx,
@@ -756,40 +960,73 @@ def slab_step_body(cfg: SphConfig, ndev: int, p_cap: int, h_cap: int,
         mig_drop.astype(jnp.float32)])
     steps2 = jnp.where(need, 0, steps_since[0] + 1)
     rebin2 = rebin_count[0] + need.astype(jnp.int32)
-    return (new_fields, cnt2[None], pos_bin2, cid_s, tab_a2, tab_b2,
+    return (new_fields, cnt2[None], pos_bin2, cid_s, tabs2,
             steps2[None], rebin2[None], diag_vec[None])
 
 
-def _table_zeros(cfg: SphConfig, sweeps: str, ndev: int, p_cap: int):
+def _table_zeros(cfg: SphConfig, sweeps: str, ndev: int, p_cap: int,
+                 sub_len: int = 0):
     """Placeholder frozen tables for the pre-first-rebin carry."""
     if sweeps == "pallas":
         from ..ops import pallas_step_t as pt
 
         tsize = (p_cap // pt.BLANE) * cfg.pallas_groups * len(pt._RODS)
-        return (jnp.zeros((ndev * tsize,), jnp.int32),
+        tabs = (jnp.zeros((ndev * tsize,), jnp.int32),
                 jnp.zeros((ndev * tsize,), jnp.int32))
+        if cfg.capped_candidates:
+            tabs += (jnp.zeros((ndev * sub_len,), jnp.int32),
+                     jnp.zeros((ndev * sub_len,), jnp.float32),
+                     jnp.zeros((ndev * sub_len,), jnp.float32),
+                     jnp.zeros((ndev,), jnp.int32))
+        return tabs
     return (jnp.zeros((ndev * p_cap, 9), jnp.int32),
             jnp.zeros((ndev * p_cap, 9), jnp.int32))
 
 
 def init_lazy_slab(cfg: SphConfig, mesh: Mesh, carry: SlabCarry,
-                   p_cap: int, sweeps: str = "celllist") -> LazySlabCarry:
+                   p_cap: int, sweeps: str = "celllist",
+                   sub_len: int = 0) -> LazySlabCarry:
     """Wrap a freshly distributed store with empty frozen structure.
 
     ``steps_since = -1`` forces the first step to migrate/sort/build tables.
     """
     ndev = math.prod(mesh.devices.shape)
     sh = NamedSharding(mesh, P(_AXIS))
-    tab_a, tab_b = _table_zeros(cfg, sweeps, ndev, p_cap)
+    tabs = _table_zeros(cfg, sweeps, ndev, p_cap, sub_len)
     put = lambda x: jax.device_put(x, sh)
     return LazySlabCarry(
         fields=carry.fields, count=carry.count,
         pos_bin=put(jnp.zeros((ndev * p_cap, 3), jnp.float32)),
         cid=put(jnp.zeros((ndev * p_cap,), jnp.int32)),
-        tab_a=put(tab_a), tab_b=put(tab_b),
+        tabs=tuple(put(t) for t in tabs),
         steps_since=put(jnp.full((ndev,), -1, jnp.int32)),
         rebin_count=put(jnp.zeros((ndev,), jnp.int32)),
     )
+
+
+def derive_sub_len_slab(cfg: SphConfig, state: ParticleState, ndev: int,
+                        zsplit: tuple[int, ...], margin: float = 1.15) -> int:
+    """Host-side: bound the densest device's kept-candidate count (own slab
+    + both halo planes) for the capped slab engine; 128-rounded."""
+    import numpy as np
+
+    from ..ops.grid import cell_coords, linear_cell_id
+
+    if not cfg.capped_candidates:
+        return 0
+    cid = np.asarray(linear_cell_id(cfg, cell_coords(cfg, state.position)))
+    occ = np.bincount(cid, minlength=cfg.num_cells)
+    kept = np.minimum(occ, cfg.capped_candidates)
+    nxny = cfg.grid_nx * cfg.grid_ny
+    per_plane = kept.reshape(cfg.grid_nz, nxny).sum(axis=1)
+    worst = 0
+    for d in range(ndev):
+        lo, hi = zsplit[d], zsplit[d + 1]
+        own = per_plane[lo:hi].sum()
+        halo = (per_plane[lo - 1] if lo > 0 else 0) \
+            + (per_plane[hi] if hi < cfg.grid_nz else 0)
+        worst = max(worst, int(own + halo))
+    return -(-int(worst * margin + 128) // 128) * 128
 
 
 def slab_imbalance(carry) -> float:
@@ -829,7 +1066,8 @@ def maybe_rebalance(cfg: SphConfig, mesh: Mesh, carry, n: int,
 def make_slab_step(cfg: SphConfig, mesh: Mesh, p_cap: int, h_cap: int,
                    m_cap: int, chunk: int = 1024, donate: bool = True,
                    sweeps: str = "celllist",
-                   zsplit: tuple[int, ...] | None = None, lazy: bool = True
+                   zsplit: tuple[int, ...] | None = None, lazy: bool = True,
+                   sub_len: int | None = None
                    ) -> Callable[[SlabCarry | LazySlabCarry],
                                  tuple[LazySlabCarry, StepDiagnostics]]:
     """Fully-distributed step over ``mesh`` (see module docstring).
@@ -861,32 +1099,36 @@ def make_slab_step(cfg: SphConfig, mesh: Mesh, p_cap: int, h_cap: int,
                          "planes per device")
     if sweeps not in ("celllist", "pallas"):
         raise ValueError(f"unknown sweeps engine: {sweeps!r}")
-    if cfg.capped_candidates:
-        raise ValueError("capped_candidates is single-chip only for now "
-                         "(the slab engine does not subsample its candidate "
-                         "arrays; running it here would silently be exact)")
+    if cfg.capped_candidates and sweeps != "pallas":
+        raise ValueError("capped_candidates needs the pallas slab sweeps "
+                         "(the celllist slab path has no subsample)")
     if sweeps == "pallas":
         if p_cap % 128 or h_cap % 128:
             raise ValueError("pallas sweeps need p_cap and h_cap % 128 == 0")
         if cfg.pallas_window_t <= 0:
             raise ValueError("pallas sweeps need pallas_window_t > 0 "
                              "(derive via ops.pallas_step_t.derive_window_t)")
+    if cfg.capped_candidates and sweeps == "pallas":
+        e = p_cap + 2 * h_cap
+        sub_len = min(sub_len or e, e)
+    else:
+        sub_len = 0
 
     body = partial(slab_step_body, cfg, ndev, p_cap, h_cap, m_cap, chunk,
-                   sweeps, zsplit, lazy)
+                   sweeps, zsplit, lazy, sub_len)
     sharded = jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P(_AXIS),) * 8,
-        out_specs=(P(_AXIS),) * 9,
+        in_specs=(P(_AXIS),) * 4 + (P(_AXIS),) + (P(_AXIS),) * 2,
+        out_specs=(P(_AXIS),) * 4 + (P(_AXIS),) + (P(_AXIS),) * 3,
         # pallas_call outputs don't carry vma annotations yet; the body is
         # manually-sharded SPMD either way
         check_vma=False,
     )
 
     def _step(carry: LazySlabCarry) -> tuple[LazySlabCarry, StepDiagnostics]:
-        (fields, count, pos_bin, cid, tab_a, tab_b, steps_since, rebins,
+        (fields, count, pos_bin, cid, tabs, steps_since, rebins,
          diag_rows) = sharded(carry.fields, carry.count, carry.pos_bin,
-                              carry.cid, carry.tab_a, carry.tab_b,
+                              carry.cid, carry.tabs,
                               carry.steps_since, carry.rebin_count)
         dv = diag_rows[0]
         diag = StepDiagnostics(
@@ -899,14 +1141,14 @@ def make_slab_step(cfg: SphConfig, mesh: Mesh, p_cap: int, h_cap: int,
             halo_dropped=dv[7].astype(jnp.int32),
             migration_dropped=dv[8].astype(jnp.int32),
         )
-        return LazySlabCarry(fields, count, pos_bin, cid, tab_a, tab_b,
+        return LazySlabCarry(fields, count, pos_bin, cid, tabs,
                              steps_since, rebins), diag
 
     jitted = jax.jit(_step, donate_argnums=(0,) if donate else ())
 
     def step(carry):
         if not isinstance(carry, LazySlabCarry):
-            carry = init_lazy_slab(cfg, mesh, carry, p_cap, sweeps)
+            carry = init_lazy_slab(cfg, mesh, carry, p_cap, sweeps, sub_len)
         return jitted(carry)
 
     return step

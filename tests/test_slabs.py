@@ -209,6 +209,42 @@ def test_balanced_zsplit_matches_and_shrinks_pcap():
                                rtol=1e-5, atol=1e-5)
 
 
+def test_slab_capped_matches_single_chip_capped():
+    """Capped mode distributed: the kept set is decided by (cell,
+    hash(original id)) — a GLOBAL deterministic policy — so the 8-mesh slab
+    engine must reproduce the single-chip capped pallas physics."""
+    from functools import partial as _partial
+
+    from smoothed_particle_hydrodynamics_tpu.ops.step import step as chip_step
+
+    steps = 2
+    cfg, state = _scene(pallas_interpret=True, pallas_window_t=64,
+                        cell_size_factor=1.25, capped_candidates=4)
+    mesh = make_mesh(8)
+    p_cap, h_cap, m_cap = slabs.derive_slab_caps(cfg, state, 8)
+    zsplit = slabs.uniform_zsplit(cfg, 8)
+    sub = slabs.derive_sub_len_slab(cfg, state, 8, zsplit)
+    assert 0 < sub < p_cap + 2 * h_cap, sub
+
+    carry = slabs.distribute(cfg, state, mesh, p_cap)
+    f = slabs.make_slab_step(cfg, mesh, p_cap, h_cap, m_cap, donate=False,
+                             sweeps="pallas", sub_len=sub)
+    for _ in range(steps):
+        carry, diag = f(carry)
+    got = slabs.collect(carry, cfg.num_particles)
+    assert int(diag.truncated_ranges) == 0, "derived sub_len overflowed"
+
+    ref = state
+    g = jax.jit(_partial(chip_step, cfg, backend="pallas"))
+    for _ in range(steps):
+        ref, rdiag = g(ref)
+    np.testing.assert_allclose(np.asarray(got.position),
+                               np.asarray(ref.position),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(float(diag.neighbor_mean),
+                               float(rdiag.neighbor_mean), rtol=1e-5)
+
+
 def test_lazy_slab_freezes_rebuilds_and_matches_eager():
     """Drift below the (cell-h)/2 skin: the lazy engine must freeze the sort
     + window tables across steps (rebin_count stays at the initial build) and
