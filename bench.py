@@ -103,6 +103,19 @@ def main() -> int:
                              ("value", "ms_per_step", "p_cap", "window_t",
                               "rebins", "migration_dropped", "halo_dropped",
                               "steps")}
+        if backend == "pallas" and not args.no_capped:
+            # best measured per-chip point (docs/ROUND3.md): the distributed
+            # engine running the capped K_c=4 sweeps — the number the
+            # multi-chip scale-out projection multiplies
+            sc = run_slab_benchmark(
+                n=args.num_particles, steps=max(args.steps // 3, 10),
+                sweeps="pallas",
+                overrides={"capped_candidates": 4, "pallas_window_t": 0})
+            line["slab_capped_k4"] = {k: sc[k] for k in
+                                      ("value", "ms_per_step", "p_cap",
+                                       "window_t", "rebins",
+                                       "migration_dropped", "halo_dropped",
+                                       "steps")}
     print(json.dumps(line))
     return 0
 

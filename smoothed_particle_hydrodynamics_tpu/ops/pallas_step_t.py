@@ -707,7 +707,14 @@ def _run_chunked(cfg, p: PreparedT, kernel, cand_cols, self_cols,
     return jnp.concatenate(parts, axis=1)
 
 
-def density_sweep_t(cfg: SphConfig, p: PreparedT
+def gather_sub_pv(p: PreparedT) -> jnp.ndarray:
+    """[S, 6] positions+velocities of the capped sub frame, gathered once per
+    step and shared by both sweeps (positions drift between rebins; one w6
+    gather beats the former w3 density + w7 force pair)."""
+    return jnp.concatenate([p.pos_s, p.vel_s], axis=1)[p.sub_perm]
+
+
+def density_sweep_t(cfg: SphConfig, p: PreparedT, pv_sub=None
                     ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """(rho_s, ncount_s) in sorted order."""
     n = p.pos_s.shape[0]
@@ -720,8 +727,10 @@ def density_sweep_t(cfg: SphConfig, p: PreparedT
     if cfg.capped_candidates:
         # subsampled candidate frame (statically bounded): positions gathered
         # fresh each call (they drift between rebins), mass pre-reweighted
+        if pv_sub is None:
+            pv_sub = gather_sub_pv(p)
         cand = jnp.concatenate(
-            [p.pos_s[p.sub_perm], p.cand_cid_f[:, None],
+            [pv_sub[:, 0:3], p.cand_cid_f[:, None],
              p.wm_sub[:, None], p.sub_perm.astype(jnp.float32)[:, None]],
             axis=1)
     else:
@@ -748,16 +757,17 @@ def density_sweep_t(cfg: SphConfig, p: PreparedT
     return rho_blocks.reshape(n_rows)[:n], nc_blocks.reshape(n_rows)[:n]
 
 
-def force_sweep_t(cfg: SphConfig, p: PreparedT, rho_s: jnp.ndarray
-                  ) -> jnp.ndarray:
+def force_sweep_t(cfg: SphConfig, p: PreparedT, rho_s: jnp.ndarray,
+                  pv_sub=None) -> jnp.ndarray:
     """acc_s [N,3] in sorted order (hydro only; gravity/CFL added by caller)."""
     n = p.pos_s.shape[0]
     if cfg.capped_candidates:
-        # one stacked gather into the (statically bounded) subsampled frame
-        # per step: positions, velocities and densities all change
-        g = jnp.concatenate([p.pos_s, p.vel_s, rho_s[:, None]],
-                            axis=1)[p.sub_perm]
-        pos_c, vel_c, rho_c = g[:, 0:3], g[:, 3:6], g[:, 6]
+        # positions/velocities ride the shared per-step w6 gather
+        # (``gather_sub_pv``); only the fresh densities need their own w1
+        if pv_sub is None:
+            pv_sub = gather_sub_pv(p)
+        pos_c, vel_c = pv_sub[:, 0:3], pv_sub[:, 3:6]
+        rho_c = rho_s[p.sub_perm]
         m_c = p.wm_sub                                      # reweighted
         cid_c = p.cand_cid_f
         src_f = p.sub_perm.astype(jnp.float32)
@@ -797,8 +807,9 @@ def sweeps_sorted(cfg: SphConfig, p: PreparedT
     The sorted-frame contract lets the lazy driver (``ops.lazy``) keep state
     permanently sorted and skip the inverse permutation entirely.
     """
-    rho_s, ncount_s = density_sweep_t(cfg, p)
-    acc_s = force_sweep_t(cfg, p, rho_s)
+    pv_sub = gather_sub_pv(p) if cfg.capped_candidates else None
+    rho_s, ncount_s = density_sweep_t(cfg, p, pv_sub=pv_sub)
+    acc_s = force_sweep_t(cfg, p, rho_s, pv_sub=pv_sub)
     acc_s = acc_s + physics.central_gravity(cfg, p.pos_s)
     acc_s = acc_s + jnp.asarray(cfg.gravity, jnp.float32)
     acc_s = physics.cfl_clamp(cfg, acc_s)

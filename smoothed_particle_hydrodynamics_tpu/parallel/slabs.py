@@ -597,17 +597,17 @@ class LazySlabCarry(NamedTuple):
     rebin_count: jnp.ndarray  # [D] i32 total rebins so far
 
 
-def _pallas_density_local_capped(cfg: SphConfig, ext, cid_ext, ws, wc,
+def _pallas_density_local_capped(cfg: SphConfig, ext, g8, cid_ext, ws, wc,
                                  sub_src, cand_cid_f, w_sub,
                                  h_cap: int, p_cap: int, sub_len: int):
-    """Density via the capped sub frame: candidates gathered through the
-    frozen kept-set each step (they drift between rebins)."""
+    """Density via the capped sub frame.  ``g8 = ext[sub_src]`` is gathered
+    ONCE per step in ``slab_step_body`` and shared with the force sweep
+    (candidate values drift between rebins; the kept set is frozen)."""
     from jax.experimental import pallas as pl
 
     from ..ops import pallas_step_t as pt
 
     sub_pad = _sub_pad(cfg, sub_len)
-    g8 = ext[sub_src]                                   # [S, 8] per step
     m_t = g8[:, _MASS] * w_sub
     src_f = sub_src.astype(jnp.float32)
     cand = jnp.concatenate(
@@ -638,7 +638,7 @@ def _pallas_density_local_capped(cfg: SphConfig, ext, cid_ext, ws, wc,
     return rho.reshape(p_cap), nc.reshape(p_cap)
 
 
-def _pallas_force_local_capped(cfg: SphConfig, ext, cid_ext, rho_e, rho_l,
+def _pallas_force_local_capped(cfg: SphConfig, ext, g8, cid_ext, rho_e, rho_l,
                                ws, wc, sub_src, cand_cid_f, w_sub,
                                h_cap: int, p_cap: int, sub_len: int):
     from jax.experimental import pallas as pl
@@ -647,7 +647,6 @@ def _pallas_force_local_capped(cfg: SphConfig, ext, cid_ext, rho_e, rho_l,
     from ..ops import physics
 
     sub_pad = _sub_pad(cfg, sub_len)
-    g8 = ext[sub_src]
     rho_c = rho_e[sub_src]
     m_t = g8[:, _MASS] * w_sub
     rhoj_inv = 1.0 / jnp.where(rho_c > 0.0, rho_c, 1.0)
@@ -864,8 +863,9 @@ def slab_step_body(cfg: SphConfig, ndev: int, p_cap: int, h_cap: int,
 
     if capped:
         ws2, wc2, sub_src, cand_cid_f, w_sub, dropped1 = tabs2
+        g8 = ext[sub_src]          # one shared [S,8] gather for both sweeps
         rho_l, nc_l = _pallas_density_local_capped(
-            cfg, ext, cid_ext, ws2, wc2, sub_src, cand_cid_f, w_sub,
+            cfg, ext, g8, cid_ext, ws2, wc2, sub_src, cand_cid_f, w_sub,
             h_cap, p_cap, sub_len)
         trunc = dropped1[0]                    # counted sub-frame overflow
     elif sweeps == "pallas":
@@ -893,8 +893,8 @@ def slab_step_body(cfg: SphConfig, ndev: int, p_cap: int, h_cap: int,
 
     if capped:
         acc_l = _pallas_force_local_capped(
-            cfg, ext, cid_ext, rho_e, rho_l, ws2, wc2, sub_src, cand_cid_f,
-            w_sub, h_cap, p_cap, sub_len)
+            cfg, ext, g8, cid_ext, rho_e, rho_l, ws2, wc2, sub_src,
+            cand_cid_f, w_sub, h_cap, p_cap, sub_len)
     elif sweeps == "pallas":
         acc_l = _pallas_force_local(cfg, ext, cid_ext, rho_e, rho_l,
                                     ws2, wc2, h_cap, p_cap)

@@ -114,9 +114,12 @@ def run_slab_benchmark(n: int = 1_000_000, steps: int = 15, warmup: int = 3,
     # maybe_rebalance, so the per-chip constant is measured at working caps
     p_cap, h_cap, m_cap = slabs.derive_slab_caps(cfg, state, 1, zsplit=zsplit,
                                                  headroom=headroom)
+    sub_len = (slabs.derive_sub_len_slab(cfg, state, 1, zsplit)
+               if cfg.capped_candidates else None)
     carry = slabs.distribute(cfg, state, mesh, p_cap, zsplit=zsplit)
     step = slabs.make_slab_step(cfg, mesh, p_cap, h_cap, m_cap,
-                                sweeps=sweeps, zsplit=zsplit, donate=True)
+                                sweeps=sweeps, zsplit=zsplit, donate=True,
+                                sub_len=sub_len)
 
     t0 = time.perf_counter()
     for _ in range(max(warmup, 1)):
