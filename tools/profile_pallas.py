@@ -39,8 +39,8 @@ def bench(name, fn, *args, iters=10):
     return out
 
 
-def main(n=1_000_000, k_c=4, steps_settle=10):
-    overrides = dict(num_particles=n, cell_size_factor=1.25)
+def main(n=1_000_000, k_c=4, steps_settle=10, csf=1.25):
+    overrides = dict(num_particles=n, cell_size_factor=csf)
     if k_c:
         overrides.update(capped_candidates=k_c, pallas_window_t=0)
     else:
@@ -107,4 +107,5 @@ if __name__ == "__main__":
 
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     k_c = int(sys.argv[2]) if len(sys.argv) > 2 else 4
-    main(n, k_c)
+    csf = float(sys.argv[3]) if len(sys.argv) > 3 else 1.25
+    main(n, k_c, csf=csf)
