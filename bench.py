@@ -51,6 +51,18 @@ def _compute_row(row: str, args) -> dict:
                                          pallas_window_t=0),
                           lazy=True)
         return {k: r[k] for k in ("value", "ms_per_step", "steps")}
+    if row == "capped_k4_10m":
+        # 10x the headline size on ONE chip: the 1M step carries ~25 ms of
+        # per-dispatch/small-op floor that amortizes away at 10M, so this is
+        # the best single-chip point (docs/PERFORMANCE.md r3 close-out #10)
+        r = run_benchmark(scene=args.scene, backend="pallas", steps=8,
+                          warmup=3,
+                          overrides=dict(base, num_particles=10_000_000,
+                                         capped_candidates=4,
+                                         pallas_window_t=0),
+                          lazy=True)
+        return {k: r[k] for k in ("value", "ms_per_step", "steps",
+                                  "num_particles")}
     slab_keys = ("value", "ms_per_step", "p_cap", "window_t", "rebins",
                  "migration_dropped", "halo_dropped", "steps")
     if row == "slab_1dev":
@@ -142,6 +154,8 @@ def main() -> int:
         # K_c=8 measured ~neutral at 1M, so the recorded dial is the one
         # that actually buys throughput)
         rows.append("capped_k4")
+        if args.num_particles >= 1_000_000:
+            rows.append("capped_k4_10m")
     if not args.no_slab and on_tpu:
         # per-chip constant of the DISTRIBUTED path (1-device mesh, real
         # chip): grounds the multi-chip scale-out claim with a measured datum
