@@ -29,7 +29,8 @@ def _run_row(row: str, args) -> dict | None:
     """
     cmd = [sys.executable, os.path.abspath(__file__), "--row", row,
            "--scene", args.scene, "-n", str(args.num_particles),
-           "--steps", str(args.steps), "--warmup", str(args.warmup)]
+           "--steps", str(args.steps), "--warmup", str(args.warmup),
+           "--slab-sweeps", args.slab_sweeps]
     try:
         out = subprocess.run(cmd, capture_output=True, text=True,
                              timeout=2400)

@@ -189,11 +189,15 @@ def cmd_run(args) -> int:
                 # block boundaries (host-side, recompiles like --apply)
                 if not args.rebalance_threshold:
                     return None
-                carry2, zs2, caps2, changed = maybe_rebalance(
+                carry2, zs2, caps2, sub2, changed = maybe_rebalance(
                     run_cfg, mesh, slab_ctx["carry"], run_cfg.num_particles,
                     threshold=args.rebalance_threshold)
                 if not changed:
                     return None
+                nonlocal slab_sub
+                if slab_sweeps == "pallas" and run_cfg.capped_candidates:
+                    # the t=0 sub-frame bound goes stale with the partition
+                    slab_sub = sub2
                 slab_ctx.update(carry=carry2, zsplit=zs2, caps=caps2)
                 print(f"rebalanced slabs: p_cap={caps2[0]} zsplit={zs2}")
                 return make_run(run_cfg)
@@ -424,6 +428,7 @@ def cmd_sweep(args) -> int:
     mus = [float(x) for x in args.viscosity.split(",")]
     ks = [float(x) for x in args.stiffness.split(",")]
     use_lazy = (args.backend == "pallas" and not overrides.get("compat")
+                and overrides.get("pallas_layout", "sublane") == "sublane"
                 and overrides.get("second_kick") != "full")
     rows = []
     for mu, k in itertools.product(mus, ks):

@@ -485,6 +485,12 @@ def _validate(cfg: SphConfig) -> None:
         raise ValueError("pallas_groups must be 1, 2, or 4")
     if cfg.capped_candidates and cfg.pallas_groups != 1:
         raise ValueError("capped_candidates currently requires pallas_groups=1")
+    if cfg.capped_candidates and cfg.num_particles > 1 << 24:
+        # the self-exclusion lane compares source ROW ids carried as f32
+        # (see the src_f candidate column); beyond 2^24 rows they round and
+        # non-self candidates could be silently excluded
+        raise ValueError("capped mode stores source row ids in f32 "
+                         "(exact up to 2^24 = 16.7M particles)")
 
 
 def _hash32(idx: jnp.ndarray) -> jnp.ndarray:

@@ -27,6 +27,13 @@ Backend = Literal["celllist", "pairwise", "pallas", "compat"]
 def compute_forces(cfg: SphConfig, state: ParticleState, backend: Backend = "celllist"
                    ) -> tuple[jnp.ndarray, jnp.ndarray, celllist.CellListAux]:
     """(acceleration, density, aux) for the current positions/velocities."""
+    if cfg.capped_candidates and backend != "pallas":
+        # only the sublane pallas kernels implement the capped subsample;
+        # silently running exact physics under a capped config would let a
+        # user believe the Subsets dial is active when it is not
+        raise ValueError(f"capped_candidates={cfg.capped_candidates} is only "
+                         f"implemented by the pallas backend (got "
+                         f"{backend!r}); unset it for the exact backends")
     if backend == "celllist":
         return celllist.compute_step_quantities(cfg, state)
     if backend == "pallas":

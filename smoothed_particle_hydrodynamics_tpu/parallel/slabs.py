@@ -1048,19 +1048,23 @@ def maybe_rebalance(cfg: SphConfig, mesh: Mesh, carry, n: int,
     ``threshold``, re-collects and re-distributes the store under a fresh
     occupancy-weighted split (same machinery as ``derive_zsplit`` at t=0).
 
-    Returns ``(carry, zsplit, caps, changed)``; when ``changed`` the caller
-    must rebuild its step function for the new ``zsplit``/``caps`` (a
-    recompile — which is why this belongs at block boundaries, like the
-    CLI's mid-run --apply).  Collectives never run here: pure host work.
+    Returns ``(carry, zsplit, caps, sub_len, changed)``; when ``changed``
+    the caller must rebuild its step function for the new
+    ``zsplit``/``caps``/``sub_len`` (a recompile — which is why this belongs
+    at block boundaries, like the CLI's mid-run --apply).  ``sub_len`` is the
+    re-derived capped sub-frame bound (0 when ``cfg.capped_candidates`` is
+    off) — the t=0 bound goes stale with the partition, same as the caps.
+    Collectives never run here: pure host work.
     """
     ndev = math.prod(mesh.devices.shape)
     if slab_imbalance(carry) <= threshold:
-        return carry, None, None, False
+        return carry, None, None, None, False
     state = collect(carry, n)
     zsplit = derive_zsplit(cfg, state, ndev)
     caps = derive_slab_caps(cfg, state, ndev, headroom=headroom, zsplit=zsplit)
+    sub_len = derive_sub_len_slab(cfg, state, ndev, zsplit)
     new_carry = distribute(cfg, state, mesh, caps[0], zsplit=zsplit)
-    return new_carry, zsplit, caps, True
+    return new_carry, zsplit, caps, sub_len, True
 
 
 def make_slab_step(cfg: SphConfig, mesh: Mesh, p_cap: int, h_cap: int,
@@ -1108,6 +1112,11 @@ def make_slab_step(cfg: SphConfig, mesh: Mesh, p_cap: int, h_cap: int,
         if cfg.pallas_window_t <= 0:
             raise ValueError("pallas sweeps need pallas_window_t > 0 "
                              "(derive via ops.pallas_step_t.derive_window_t)")
+        # same kernel constraints as the single-chip path (compat off,
+        # groups/window shape, capped needs groups=1 and f32-exact row ids)
+        from ..ops import pallas_step_t as pt
+
+        pt._validate(cfg)
     if cfg.capped_candidates and sweeps == "pallas":
         e = p_cap + 2 * h_cap
         sub_len = min(sub_len or e, e)

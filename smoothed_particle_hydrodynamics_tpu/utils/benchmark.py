@@ -29,6 +29,13 @@ def run_benchmark(scene: str = "disk", backend: str = "celllist",
                   overrides: dict | None = None, lazy: bool = False) -> dict:
     from ..ops.step import drive_loop
 
+    if lazy and backend != "pallas":
+        # the lazy driver always runs the sublane pallas kernels; accepting
+        # another backend name here would record a row labeled with an
+        # engine that never executed
+        raise ValueError(f"lazy=True benchmarks the pallas backend; got "
+                         f"backend={backend!r} (drop --lazy or use "
+                         f"--backend pallas)")
     cfg, state = make_scene(scene, **(overrides or {}))
     if backend == "pallas" and cfg.pallas_window_t == 0:
         # 0 = auto, resolved from this scene's actual rod-window lengths

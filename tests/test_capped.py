@@ -149,3 +149,35 @@ def test_derive_window_shrinks_under_cap():
     w_capped = pallas_step_t.derive_window_t(
         cfg.replace(capped_candidates=4), state)
     assert w_capped < w_full, (w_capped, w_full)
+
+
+def test_capped_rejected_by_exact_backends():
+    """Backends that cannot subsample must REFUSE a capped config rather
+    than silently running exact physics under a dial the user set."""
+    from smoothed_particle_hydrodynamics_tpu.ops.step import compute_forces
+
+    cfg, state = _dense_scene(capped_candidates=8)
+    for backend in ("celllist", "pairwise"):
+        with pytest.raises(ValueError, match="capped_candidates"):
+            compute_forces(cfg, state, backend=backend)
+
+
+def test_capped_requires_f32_exact_row_ids():
+    """Self-exclusion carries source row ids in f32 lanes: configs beyond
+    2^24 particles must be rejected up front, not silently corrupted."""
+    cfg, _ = _dense_scene(capped_candidates=4)
+    big = cfg.replace(num_particles=(1 << 24) + 128)
+    with pytest.raises(ValueError, match="2\\^24"):
+        pallas_step_t._validate(big)
+
+
+def test_lazy_bench_rejects_non_pallas_backend():
+    """run_benchmark(lazy=True) always drives the pallas kernels; labeling
+    the row with another backend name would record an engine that never
+    ran."""
+    from smoothed_particle_hydrodynamics_tpu.utils.benchmark import (
+        run_benchmark)
+
+    with pytest.raises(ValueError, match="lazy"):
+        run_benchmark(scene="dam_break", backend="celllist", steps=1,
+                      warmup=1, lazy=True)

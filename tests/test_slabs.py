@@ -391,7 +391,7 @@ def test_dynamic_rebalance_prevents_overflow():
         for _ in range(block):
             carry, diag = f(carry)
             dropped += int(diag.migration_dropped)
-        carry2, zs2, caps2, changed = slabs.maybe_rebalance(
+        carry2, zs2, caps2, _sub2, changed = slabs.maybe_rebalance(
             cfg, mesh, carry, cfg.num_particles, threshold=1.2)
         if changed:
             carry, zs, caps = carry2, zs2, caps2
@@ -421,3 +421,17 @@ def test_long_march_conservation():
             assert int(diag.migration_dropped) == 0, f"step {i}"
             assert np.isfinite(float(diag.kinetic_energy)), f"step {i}"
             assert int(np.asarray(carry.count).sum()) == cfg.num_particles
+
+
+def test_slab_pallas_enforces_kernel_constraints():
+    """The distributed path must validate the same kernel constraints as
+    the single-chip path (capped mode requires pallas_groups=1)."""
+    import pytest
+
+    cfg, state = _scene(pallas_interpret=True, pallas_window_t=64,
+                        capped_candidates=4, pallas_groups=2)
+    mesh = make_mesh(8)
+    p_cap, h_cap, m_cap = slabs.derive_slab_caps(cfg, state, 8)
+    with pytest.raises(ValueError, match="pallas_groups"):
+        slabs.make_slab_step(cfg, mesh, p_cap, h_cap, m_cap,
+                             sweeps="pallas", sub_len=256)
