@@ -33,6 +33,10 @@ class EnergyTally(NamedTuple):
     kinetic: jnp.ndarray
     potential: jnp.ndarray
     angular_momentum: jnp.ndarray
+    # [3] un-normed angular-momentum vector sum.  Distributed callers must
+    # psum THIS and take the norm after the reduction (sum of per-shard
+    # norms != norm of the global sum); single-chip callers can ignore it.
+    l_vec: jnp.ndarray = None
 
 
 def kdk_integrate(cfg: SphConfig, state: ParticleState,
@@ -82,14 +86,21 @@ def angular_momentum_vec(cfg: SphConfig, pos: jnp.ndarray, vel: jnp.ndarray,
 
 def energy_tally(cfg: SphConfig, pos: jnp.ndarray, vel: jnp.ndarray,
                  mass: jnp.ndarray) -> EnergyTally:
-    """KE/PE/|L| sums matching /root/reference/src/sph.cpp:997-1013."""
+    """KE/PE/|L| sums matching /root/reference/src/sph.cpp:997-1013.
+
+    Default mode reduces all five scalars (KE, PE, Lx, Ly, Lz) through ONE
+    stacked ``[N, 5]`` column sum: separate ``jnp.sum`` calls cost ~15 ms
+    inside the fused kdk program at 1M on v5e, the stacked reduce ~6 ms
+    (measured, ``tools/probe_tally.py`` — the separate reduces defeat XLA's
+    fusion of the tally epilogue into the update pass).
+    """
     center = jnp.asarray(cfg.central_pos, jnp.float32)
     rel = (pos - center) * _f32(cfg.sim_scale)
-    dist = jnp.linalg.norm(rel, axis=-1)
     v2 = jnp.sum(vel * vel, axis=-1)
     gm = _f32(cfg.grav_constant) * _f32(cfg.central_mass)
     soft = _f32(cfg.softening_eff)
     if cfg.compat:
+        dist = jnp.linalg.norm(rel, axis=-1)
         # The reference's NaN skip: the `dot > 0` guard excludes at-rest
         # particles from BOTH tallies (src/sph.cpp:1001-1013, quirk).
         ok = v2 > 0.0
@@ -97,15 +108,19 @@ def energy_tally(cfg: SphConfig, pos: jnp.ndarray, vel: jnp.ndarray,
         # quirk 8: 1/(d+eps)^3 instead of 1/(d+eps)
         pe = -jnp.sum(jnp.where(ok, gm * mass / (dist + soft) ** 3, 0.0))
         ang = jnp.zeros((), jnp.float32)  # reference always logs 0
-    else:
-        # Default mode: at-rest particles count (a dam break at rest has
-        # nonzero PE); only non-finite velocities are masked from KE, and PE
-        # is not velocity-gated at all, so NaN positions surface as NaN PE
-        # for detect_blowup instead of being silently zeroed.
-        ke = jnp.sum(jnp.where(jnp.isfinite(v2), 0.5 * mass * v2, 0.0))
-        pe = -jnp.sum(gm * mass / (dist + soft))
-        ang = jnp.linalg.norm(angular_momentum_vec(cfg, pos, vel, mass))
-    return EnergyTally(ke, pe, ang)
+        return EnergyTally(ke, pe, ang, jnp.zeros((3,), jnp.float32))
+    # Default mode: at-rest particles count (a dam break at rest has
+    # nonzero PE); only non-finite velocities are masked from KE, and PE
+    # is not velocity-gated at all, so NaN positions surface as NaN PE
+    # for detect_blowup instead of being silently zeroed.
+    dist = jnp.sqrt(jnp.sum(rel * rel, axis=-1))
+    ke_i = jnp.where(jnp.isfinite(v2), 0.5 * mass * v2, 0.0)
+    pe_i = gm * mass / (dist + soft)
+    l_i = mass[:, None] * jnp.cross(rel, vel)
+    cols = jnp.concatenate([ke_i[:, None], pe_i[:, None], l_i], axis=1)
+    s = jnp.sum(cols, axis=0)
+    l_vec = s[2:5]
+    return EnergyTally(s[0], -s[1], jnp.linalg.norm(l_vec), l_vec)
 
 
 def reflect_boundary(cfg: SphConfig, old_pos: jnp.ndarray, new_pos: jnp.ndarray,

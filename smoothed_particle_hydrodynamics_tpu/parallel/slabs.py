@@ -925,39 +925,42 @@ def slab_step_body(cfg: SphConfig, ndev: int, p_cap: int, h_cap: int,
          mass_i[:, None], fields_s[:, _OID:_OID + 1]], axis=1)
     new_fields = jnp.where(row_valid[:, None], new_fields, inert_row)
 
-    # tallies: inert rows contribute mass 0 / vel 0 -> KE 0, but PE uses
-    # G*M*m/(r): mass 0 zeroes it; NaN-safety holds since positions finite.
-    # |L| must psum the VECTOR before taking the norm (sum of per-shard norms
-    # is not the norm of the global sum); recompute L locally at the same
-    # post-kick point energy_tally uses and reduce it as a 3-vector.
-    ke = jax.lax.psum(tally.kinetic, _AXIS)
-    pe = jax.lax.psum(tally.potential, _AXIS)
+    # ---- tallies + diagnostics (fused collectives) -------------------------
+    # Inert rows contribute mass 0 / vel 0 -> KE 0, but PE uses G*M*m/(r):
+    # mass 0 zeroes it; NaN-safety holds since positions finite.  |L| must
+    # psum the VECTOR before taking the norm (sum of per-shard norms is not
+    # the norm of the global sum) — kdk's tally carries l_vec for exactly
+    # this.  Every psum-able per-step scalar rides ONE [10] psum and both
+    # neighbor extrema ride ONE pmax (pmin(x) = -pmax(-x)): collectives are
+    # per-step ICI latency on real meshes, and separate [p_cap] reduces
+    # defeat XLA's epilogue fusion the same way the old per-scalar tally
+    # did (tools/probe_tally.py).
+    valid_n = new_fields[:, _OID] >= 0.0
+    nc_w = jnp.where(row_valid, nc_l, 0)
+    nc_cols = jnp.stack([valid_n, nc_w.astype(jnp.float32)], axis=1)
+    s_nc = jnp.sum(nc_cols, axis=0)            # [2]: n_valid, nc_sum
+    sums = jnp.stack([
+        tally.kinetic, tally.potential,
+        tally.l_vec[0], tally.l_vec[1], tally.l_vec[2],
+        s_nc[0], s_nc[1],
+        jnp.sum(trunc).astype(jnp.float32),
+        halo_missed.astype(jnp.float32),
+        (mig_dropped + overflow).astype(jnp.float32)])
+    S = jax.lax.psum(sums, _AXIS)
+    extrema = jax.lax.pmax(jnp.stack([
+        jnp.max(nc_w).astype(jnp.float32),
+        -jnp.min(jnp.where(row_valid, nc_l, jnp.int32(2**30)))
+        .astype(jnp.float32)]), _AXIS)
     if cfg.compat:
         am = jnp.zeros((), jnp.float32)   # reference always logs 0 (quirk 8)
     else:
-        from ..ops.integrate import angular_momentum_vec
-
-        l_vec = angular_momentum_vec(cfg, new_state.position,
-                                     new_state.velocity, new_state.mass)
-        am = jnp.linalg.norm(jax.lax.psum(l_vec, _AXIS))
-
-    # ---- diagnostics -------------------------------------------------------
-    valid_n = new_fields[:, _OID] >= 0.0
-    n_total = jax.lax.psum(jnp.sum(valid_n.astype(jnp.int32)), _AXIS)
-    nc_sum = jax.lax.psum(jnp.sum(jnp.where(row_valid, nc_l, 0)), _AXIS)
-    nc_max = jax.lax.pmax(jnp.max(jnp.where(row_valid, nc_l, 0)), _AXIS)
-    nc_min = jax.lax.pmin(
-        jnp.min(jnp.where(row_valid, nc_l, jnp.int32(2**30))), _AXIS)
-    truncated = jax.lax.psum(jnp.sum(trunc).astype(jnp.int32), _AXIS)
-    halo_miss = jax.lax.psum(halo_missed.astype(jnp.int32), _AXIS)
-    mig_drop = jax.lax.psum((mig_dropped + overflow).astype(jnp.int32), _AXIS)
+        am = jnp.linalg.norm(S[2:5])
 
     diag_vec = jnp.stack([
-        ke, pe, am,
-        nc_sum.astype(jnp.float32) / jnp.maximum(n_total, 1).astype(jnp.float32),
-        nc_max.astype(jnp.float32), nc_min.astype(jnp.float32),
-        truncated.astype(jnp.float32), halo_miss.astype(jnp.float32),
-        mig_drop.astype(jnp.float32)])
+        S[0], S[1], am,
+        S[6] / jnp.maximum(S[5], 1.0),
+        extrema[0], -extrema[1],
+        S[7], S[8], S[9]])
     steps2 = jnp.where(need, 0, steps_since[0] + 1)
     rebin2 = rebin_count[0] + need.astype(jnp.int32)
     return (new_fields, cnt2[None], pos_bin2, cid_s, tabs2,

@@ -143,3 +143,39 @@ def test_dam_break_step0_nonzero_pe():
                             central_mass=1e4)  # need a central mass for PE
     _, diag = jax.jit(lambda s: step(cfg, s))(state)
     assert float(diag.potential_energy) < 0.0
+
+
+def test_energy_tally_stacked_matches_naive():
+    """The stacked [N,5] reduction (one fused kernel, tools/probe_tally.py)
+    must agree with the per-scalar formulation, and l_vec must carry the
+    UN-normed vector so distributed callers can psum it before the norm."""
+    rng = np.random.default_rng(7)
+    n = 4096
+    cfg = SphConfig(num_particles=n)
+    pos = jnp.asarray(rng.uniform(0.5, 6.0, (n, 3)), jnp.float32)
+    vel = jnp.asarray(rng.normal(0.0, 2.0, (n, 3)), jnp.float32)
+    mass = jnp.asarray(rng.uniform(0.5, 2.0, (n,)), jnp.float32)
+    t = energy_tally(cfg, pos, vel, mass)
+
+    center = np.asarray(cfg.central_pos, np.float64)
+    rel = (np.asarray(pos, np.float64) - center) * cfg.sim_scale
+    v = np.asarray(vel, np.float64)
+    m = np.asarray(mass, np.float64)
+    ke = 0.5 * np.sum(m * np.sum(v * v, axis=1))
+    gm = cfg.grav_constant * cfg.central_mass
+    pe = -np.sum(gm * m / (np.linalg.norm(rel, axis=1) + cfg.softening_eff))
+    l_vec = np.sum(m[:, None] * np.cross(rel, v), axis=0)
+
+    np.testing.assert_allclose(float(t.kinetic), ke, rtol=1e-5)
+    np.testing.assert_allclose(float(t.potential), pe, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(t.l_vec), l_vec, rtol=1e-4)
+    np.testing.assert_allclose(float(t.angular_momentum),
+                               np.linalg.norm(l_vec), rtol=1e-4)
+
+    # shard the particles two ways: psum(l_vec) then norm must equal the
+    # global norm; the sum of per-shard norms must NOT be relied on
+    ta = energy_tally(cfg, pos[: n // 2], vel[: n // 2], mass[: n // 2])
+    tb = energy_tally(cfg, pos[n // 2:], vel[n // 2:], mass[n // 2:])
+    np.testing.assert_allclose(
+        float(jnp.linalg.norm(ta.l_vec + tb.l_vec)),
+        np.linalg.norm(l_vec), rtol=1e-4)
