@@ -693,11 +693,12 @@ def slab_step_body(cfg: SphConfig, ndev: int, p_cap: int, h_cap: int,
                    steps_since: jnp.ndarray, rebin_count: jnp.ndarray):
     """shard_map body: one full physics step on one device's slab.
 
-    Collectives (migration/halo/rho ppermutes, diagnostic psums) execute
-    UNCONDITIONALLY so the SPMD program stays uniform; only the local
-    rebuild work (compaction sort, bin sort, window tables) sits inside
-    ``lax.cond`` branches.  The rebin predicate is a ``pmax`` so every
-    device takes the same branch.
+    The rebin predicate is a ``pmax``, so every device takes the SAME
+    ``lax.cond`` branch — which makes it legal to put the migration
+    collectives INSIDE the rebuild branch (uniform-branch collectives
+    cannot diverge/deadlock).  Between rebins the step therefore runs zero
+    migration traffic; only the halo/rho value exchanges and the diagnostic
+    reductions execute every step.
     """
     from ..ops.lazy import skin_half
 
@@ -720,7 +721,7 @@ def slab_step_body(cfg: SphConfig, ndev: int, p_cap: int, h_cap: int,
         need_l = need_l | True
     need = jax.lax.pmax(need_l.astype(jnp.int32), _AXIS) > 0
 
-    # ---- migration (rebins only; sends are inert otherwise) ---------------
+    # ---- migration + local re-sort (rebins only, one uniform cond) --------
     # one-hop exchange only: with the skin bound a crosser is < one cell
     # deep; anything farther (blow-up velocities) is dropped AND counted.
     def pack(f):
@@ -758,48 +759,41 @@ def slab_step_body(cfg: SphConfig, ndev: int, p_cap: int, h_cap: int,
         out_r = take(n_stay + n_left, jnp.minimum(n_right, m_cap))
         return packed_f, n_stay, out_l, out_r, dropped
 
-    def nopack(f):
-        return f, cnt, inert_m, inert_m, jnp.zeros((), jnp.int32)
+    def rebuild_store(f):
+        """Migrate (collectives included — the predicate is uniform), merge
+        arrivals, and re-sort the slab by cell id."""
+        packed_f, n_stay, out_left, out_right, dropped = pack(f)
 
-    packed, n_stay, out_left, out_right, mig_dropped = jax.lax.cond(
-        need, pack, nopack, fields)
+        in_from_right = jax.lax.ppermute(out_left, _AXIS, _perm(ndev, -1))
+        in_from_left = jax.lax.ppermute(out_right, _AXIS, _perm(ndev, 1))
+        in_from_right = jnp.where(d == ndev - 1, inert_m, in_from_right)
+        in_from_left = jnp.where(d == 0, inert_m, in_from_left)
+        n_in_l = jnp.sum(in_from_left[:, _OID] >= 0.0).astype(jnp.int32)
+        n_in_r = jnp.sum(in_from_right[:, _OID] >= 0.0).astype(jnp.int32)
 
-    in_from_right = jax.lax.ppermute(out_left, _AXIS, _perm(ndev, -1))
-    in_from_left = jax.lax.ppermute(out_right, _AXIS, _perm(ndev, 1))
-    in_from_right = jnp.where(d == ndev - 1, inert_m, in_from_right)
-    in_from_left = jnp.where(d == 0, inert_m, in_from_left)
-    n_in_l = jnp.sum(in_from_left[:, _OID] >= 0.0).astype(jnp.int32)
-    n_in_r = jnp.sum(in_from_right[:, _OID] >= 0.0).astype(jnp.int32)
-
-    def merge(args):
-        packed_f, arr_l, arr_r = args
         base = jnp.zeros((p_cap + 2 * m_cap, _NCOLS), jnp.float32) \
             .at[:, 0:3].set(_BIG).at[:, _OID].set(-1.0)
         live_stay = jnp.arange(p_cap, dtype=jnp.int32) < n_stay
         base = base.at[0:p_cap].set(
             jnp.where(live_stay[:, None], packed_f, inert_row))
-        base = jax.lax.dynamic_update_slice_in_dim(base, arr_l, n_stay, axis=0)
         base = jax.lax.dynamic_update_slice_in_dim(
-            base, arr_r, n_stay + n_in_l, axis=0)
+            base, in_from_left, n_stay, axis=0)
+        base = jax.lax.dynamic_update_slice_in_dim(
+            base, in_from_right, n_stay + n_in_l, axis=0)
         new_count = n_stay + n_in_l + n_in_r
         overflow = jnp.maximum(new_count - p_cap, 0)
-        return base[0:p_cap], jnp.minimum(new_count, p_cap), overflow
+        merged = base[0:p_cap]
+        cnt2 = jnp.minimum(new_count, p_cap)
 
-    def nomerge(args):
-        return fields, cnt, jnp.zeros((), jnp.int32)
+        f_s, c_s = _sort_local(cfg, merged, slab_hi)
+        return f_s, c_s, f_s[:, 0:3], cnt2, overflow, dropped
 
-    merged, cnt2, overflow = jax.lax.cond(
-        need, merge, nomerge, (packed, in_from_left, in_from_right))
+    def frozen_store(f):
+        zero = jnp.zeros((), jnp.int32)
+        return f, cid_frozen, pos_bin, cnt, zero, zero
 
-    # ---- local binning + sort (rebins only; order frozen otherwise) -------
-    def resort(m):
-        f_s, c_s = _sort_local(cfg, m, slab_hi)
-        return f_s, c_s, f_s[:, 0:3]
-
-    def keep(m):
-        return m, cid_frozen, pos_bin
-
-    fields_s, cid_s, pos_bin2 = jax.lax.cond(need, resort, keep, merged)
+    fields_s, cid_s, pos_bin2, cnt2, overflow, mig_dropped = jax.lax.cond(
+        need, rebuild_store, frozen_store, fields)
 
     # ---- halo exchange (every step: values move, structure is frozen) -----
     # When not rebinning, cnt2 and cid_s are frozen, so the window starts and
