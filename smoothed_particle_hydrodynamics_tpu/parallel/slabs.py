@@ -803,14 +803,6 @@ def slab_step_body(cfg: SphConfig, ndev: int, p_cap: int, h_cap: int,
         fields_s, cid_s, cnt2, h_cap, tail=True)
     send_dn, cid_dn = _edge_window(        # my bottom plane, for left neighbor
         fields_s, cid_s, cnt2, h_cap, tail=False)
-    # an undersized halo window misses plane rows: COUNT them (valid rows in
-    # an edge plane minus those the fixed window could carry)
-    valid_s = fields_s[:, _OID] >= 0.0
-    pop_top = jnp.sum(valid_s & (cid_s >= slab_hi - nxny)).astype(jnp.int32)
-    pop_bot = jnp.sum(valid_s & (cid_s < slab_lo + nxny)).astype(jnp.int32)
-    halo_missed = (jnp.maximum(pop_top - h_cap, 0)
-                   + jnp.maximum(pop_bot - h_cap, 0))
-
     from_left = jax.lax.ppermute(send_up, _AXIS, _perm(ndev, 1))
     cid_left = jax.lax.ppermute(cid_up, _AXIS, _perm(ndev, 1))
     from_right = jax.lax.ppermute(send_dn, _AXIS, _perm(ndev, -1))
@@ -931,14 +923,22 @@ def slab_step_body(cfg: SphConfig, ndev: int, p_cap: int, h_cap: int,
     # did (tools/probe_tally.py).
     valid_n = new_fields[:, _OID] >= 0.0
     nc_w = jnp.where(row_valid, nc_l, 0)
-    nc_cols = jnp.stack([valid_n, nc_w.astype(jnp.float32)], axis=1)
-    s_nc = jnp.sum(nc_cols, axis=0)            # [2]: n_valid, nc_sum
+    # an undersized halo window misses plane rows: COUNT them (valid rows in
+    # an edge plane minus those the fixed window could carry).  The two edge
+    # occupancy sums ride the same stacked reduce as the neighbor stats.
+    top_plane = row_valid & (cid_s >= slab_hi - nxny)
+    bot_plane = row_valid & (cid_s < slab_lo + nxny)
+    nc_cols = jnp.stack([valid_n, nc_w.astype(jnp.float32),
+                         top_plane, bot_plane], axis=1)
+    s_nc = jnp.sum(nc_cols, axis=0)   # [4]: n_valid, nc_sum, pop_top, pop_bot
+    halo_missed = (jnp.maximum(s_nc[2] - h_cap, 0.0)
+                   + jnp.maximum(s_nc[3] - h_cap, 0.0))
     sums = jnp.stack([
         tally.kinetic, tally.potential,
         tally.l_vec[0], tally.l_vec[1], tally.l_vec[2],
         s_nc[0], s_nc[1],
         jnp.sum(trunc).astype(jnp.float32),
-        halo_missed.astype(jnp.float32),
+        halo_missed,
         (mig_dropped + overflow).astype(jnp.float32)])
     S = jax.lax.psum(sums, _AXIS)
     extrema = jax.lax.pmax(jnp.stack([
