@@ -14,6 +14,7 @@ import json
 import os
 import subprocess
 import sys
+import time
 
 TARGET_PPS = 1e9  # BASELINE.md: >= 1e9 particle-steps/sec/chip @ 1M particles
 
@@ -48,6 +49,16 @@ def _compute_row(row: str, args) -> dict:
     if row == "capped_k4":
         r = run_benchmark(scene=args.scene, backend="pallas", steps=steps,
                           warmup=args.warmup,
+                          overrides=dict(base, capped_candidates=4,
+                                         pallas_window_t=0),
+                          lazy=True)
+        return {k: r[k] for k in ("value", "ms_per_step", "steps")}
+    if row == "capped_k4_steady":
+        # sustained throughput: settle past the violent early-splash phase
+        # (rebins ~every step there) so the drift skin amortizes the rebuild
+        # the way production runs see it (rebins every ~3 steps)
+        r = run_benchmark(scene=args.scene, backend="pallas", steps=steps,
+                          warmup=max(args.warmup, 20),
                           overrides=dict(base, capped_candidates=4,
                                          pallas_window_t=0),
                           lazy=True)
@@ -95,7 +106,13 @@ def main() -> int:
     ap.add_argument("--row", default=None,
                     help="internal: compute ONE auxiliary row and exit")
     ap.add_argument("--slab-sweeps", default="pallas")
+    ap.add_argument("--budget", type=float,
+                    default=float(os.environ.get("BENCH_BUDGET_S", 2100)),
+                    help="wall-clock budget (s); auxiliary rows still "
+                         "pending when it expires are skipped and listed "
+                         "in skipped_rows, so the JSON line always prints")
     args = ap.parse_args()
+    t_start = time.monotonic()
 
     if args.row:
         print(json.dumps(_compute_row(args.row, args)))
@@ -147,26 +164,33 @@ def main() -> int:
         line["parity"] = run_parity_check()
     on_tpu = jax.devices()[0].platform.lower() != "cpu"
     args.slab_sweeps = "pallas" if backend == "pallas" else "celllist"
+    # ordered by value to the record: the budget guard skips from the TAIL
     rows = []
-    if not args.no_capped and backend == "pallas" and on_tpu:
+    capped_ok = not args.no_capped and backend == "pallas" and on_tpu
+    if capped_ok:
         # the reference's "Subsets" strategy as a first-class speed dial:
         # K_c=4 per cell, mass-reweighted (density mean-unbiased, measured
         # rel-L2 noise ~0.36 vs the exact sweep — docs/PERFORMANCE.md r3;
         # K_c=8 measured ~neutral at 1M, so the recorded dial is the one
         # that actually buys throughput)
         rows.append("capped_k4")
-        if args.num_particles >= 1_000_000:
-            rows.append("capped_k4_10m")
     if not args.no_slab and on_tpu:
-        # per-chip constant of the DISTRIBUTED path (1-device mesh, real
-        # chip): grounds the multi-chip scale-out claim with a measured datum
-        rows.append("slab_1dev")
-        if backend == "pallas" and not args.no_capped:
+        if capped_ok:
             # best measured per-chip point (docs/ROUND3.md): the distributed
             # engine running the capped K_c=4 sweeps — the number the
             # multi-chip scale-out projection multiplies
             rows.append("slab_capped_k4")
+        # per-chip constant of the DISTRIBUTED path (1-device mesh, real
+        # chip): grounds the multi-chip scale-out claim with a measured datum
+        rows.append("slab_1dev")
+    if capped_ok:
+        rows.append("capped_k4_steady")
+        if args.num_particles >= 1_000_000:
+            rows.append("capped_k4_10m")
     for row in rows:
+        if time.monotonic() - t_start > args.budget:
+            line.setdefault("skipped_rows", []).append(row)
+            continue
         out = _run_row(row, args)
         if out is None:                       # subprocess failed: in-process
             out = _compute_row(row, args)
