@@ -113,9 +113,17 @@ def energy_tally(cfg: SphConfig, pos: jnp.ndarray, vel: jnp.ndarray,
     # nonzero PE); only non-finite velocities are masked from KE, and PE
     # is not velocity-gated at all, so NaN positions surface as NaN PE
     # for detect_blowup instead of being silently zeroed.
-    dist = jnp.sqrt(jnp.sum(rel * rel, axis=-1))
     ke_i = jnp.where(jnp.isfinite(v2), 0.5 * mass * v2, 0.0)
-    pe_i = gm * mass / (dist + soft)
+    if float(cfg.grav_constant) * float(cfg.central_mass) == 0.0:
+        # No central mass (splash, dam break): PE is identically zero, but
+        # XLA cannot fold the 0-multiply under IEEE NaN rules, so the
+        # sqrt+divide pass below would still run.  Skip it statically and
+        # keep a 0*x NaN canary so non-finite positions still surface as
+        # non-finite PE for detect_blowup (the documented contract above).
+        pe_i = (rel[:, 0] + rel[:, 1] + rel[:, 2]) * _f32(0.0)
+    else:
+        dist = jnp.sqrt(jnp.sum(rel * rel, axis=-1))
+        pe_i = gm * mass / (dist + soft)
     l_i = mass[:, None] * jnp.cross(rel, vel)
     cols = jnp.concatenate([ke_i[:, None], pe_i[:, None], l_i], axis=1)
     s = jnp.sum(cols, axis=0)
@@ -145,8 +153,11 @@ def reflect_boundary(cfg: SphConfig, old_pos: jnp.ndarray, new_pos: jnp.ndarray,
 
     disp = new_pos - old_pos
     safe_disp = jnp.where(disp == 0.0, 1e-30, disp)
-    f_low = -old_pos / safe_disp                 # fraction of the step at impact
-    f_high = (box - old_pos) / safe_disp
+    # one divide, two multiplies: XLA will not rewrite x/d into x*(1/d)
+    # itself (unsafe under IEEE), and the two fractions share the denominator
+    inv_disp = 1.0 / safe_disp
+    f_low = -old_pos * inv_disp                  # fraction of the step at impact
+    f_high = (box - old_pos) * inv_disp
     f_hit = jnp.where(below, f_low, jnp.where(above, f_high, 0.0))
 
     reflected_vel = jnp.where(crossed, -new_vel, new_vel)
