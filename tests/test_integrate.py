@@ -179,3 +179,20 @@ def test_energy_tally_stacked_matches_naive():
     np.testing.assert_allclose(
         float(jnp.linalg.norm(ta.l_vec + tb.l_vec)),
         np.linalg.norm(l_vec), rtol=1e-4)
+
+
+def test_energy_tally_zero_gm_keeps_nan_canary():
+    """With G*M == 0 the PE sqrt/divide pass is skipped statically, but
+    non-finite POSITIONS must still surface as non-finite PE so
+    detect_blowup keeps firing (the 0*x canary in energy_tally)."""
+    cfg = SphConfig(central_mass=0.0)
+    pos = jnp.asarray([[1.0, 1.0, 1.0], [jnp.nan, 1.0, 1.0]])
+    vel = jnp.ones((2, 3))
+    mass = jnp.ones((2,))
+    t = energy_tally(cfg, pos, vel, mass)
+    assert not np.isfinite(float(t.potential))
+    assert np.isfinite(float(t.kinetic))
+    # finite positions: PE exactly zero, KE unaffected
+    t2 = energy_tally(cfg, jnp.ones((2, 3)), vel, mass)
+    assert float(t2.potential) == 0.0
+    assert float(t2.kinetic) > 0.0
