@@ -125,6 +125,11 @@ class SphConfig:
     # and pad writes proportionally.  Overflow (kept > capped_sub_len) drops
     # the tail cells' candidates — COUNTED in truncated_ranges, never silent.
     capped_sub_len: int = 0
+    # Lowering of the force kernel's per-pair 1/(d+eps): "div" (true f32
+    # divide), "recip" (pl.reciprocal exact), "approx2" (hardware approximate
+    # reciprocal + one Newton step — full f32 precision at fewer VPU slots).
+    # Sublane pallas kernel only; per-op costs in tools/probe_vpu_ops.py.
+    force_recip: str = "div"
 
     # ---------------------------------------------------------------------------
     # Derived constants (float32-faithful to /root/reference/src/sph.cpp:46-95)
@@ -233,3 +238,5 @@ class SphConfig:
         if self.capped_candidates and self.compat:
             raise ValueError("capped_candidates is the default-mode subsets "
                              "feature; compat mode has its own bit-faithful cap")
+        if self.force_recip not in ("div", "recip", "approx2"):
+            raise ValueError("force_recip must be 'div', 'recip', or 'approx2'")

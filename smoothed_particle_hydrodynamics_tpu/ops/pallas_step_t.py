@@ -355,9 +355,23 @@ def _force_kernel_t(cfg: SphConfig, s_t: int, block_base: int,
         d = jnp.sqrt(d2u) * scale
         hd = jnp.where(mask, h - d, 0.0)
         # center = hd^2 * mj * (pw_i + pw_j) / (d + eps) * scale
-        center = (hd * hd) * (_merge_cols(tiles, masks, 9) * pw_i
-                              + _merge_cols(tiles, masks, 10)) \
-            / (d + eps) * scale
+        num = (hd * hd) * (_merge_cols(tiles, masks, 9) * pw_i
+                           + _merge_cols(tiles, masks, 10))
+        den = d + eps
+        if cfg.force_recip == "recip":
+            center = num * pl.reciprocal(den) * scale
+        elif cfg.force_recip == "approx2":
+            # hardware approximate reciprocal + one Newton step: full f32
+            # precision at fewer VPU slots than the true divide (probe:
+            # tools/probe_vpu_ops.py).  Sentinel-padded lanes carry den=inf,
+            # where Newton's den*r is inf*0=NaN (the exact divide gives 0/inf
+            # = 0); clamping den keeps those lanes finite — num is 0 there,
+            # so any finite reciprocal is correct.
+            den = jnp.minimum(den, 1e30)
+            r = pl.reciprocal(den, approx=True)
+            center = num * (r * (2.0 - den * r)) * scale
+        else:
+            center = num / den * scale
 
         # sum_c u_c * W_cs: MXU dot_general or VPU sublane sums.  For G > 1
         # the left matrices differ per lane group: run one full-width dot per

@@ -40,3 +40,14 @@ def test_transposed_groups_match_oracle(groups):
                             pallas_layout="sublane", pallas_interpret=True,
                             pallas_window_t=96, pallas_groups=groups)
     _check_against_oracle(cfg, state)
+
+
+@pytest.mark.parametrize("recip", ["recip", "approx2"])
+def test_transposed_force_recip_matches_oracle(recip):
+    """force_recip swaps the per-pair 1/(d+eps) lowering (pl.reciprocal,
+    optionally approx + one Newton step); both must stay within the same
+    oracle tolerances as the default divide."""
+    cfg, state = make_scene("disk", num_particles=1024,
+                            pallas_layout="sublane", pallas_interpret=True,
+                            pallas_window_t=192, force_recip=recip)
+    _check_against_oracle(cfg, state)
