@@ -176,21 +176,52 @@ def _cached_lazy_step(cfg: SphConfig):
     return _LAZY_CACHE[cfg]
 
 
+def _cached_lazy_scan(cfg: SphConfig, k: int):
+    """K lazy steps inside ONE jit call (per-step diagnostics as scan ys).
+
+    At small n the axon tunnel's per-dispatch overhead (~2.4 ms/call plus
+    per-output-buffer cost, docs/PERFORMANCE.md r2 #2 / r3 #12) is a large
+    share of the step; scanning K steps amortizes it K-fold.  At 1M the
+    overhead hides under the 60-120 ms device step and scan ys were
+    measured SLOWER there (r2 finding 1), so this stays opt-in via
+    ``drive_loop_lazy(scan_block=K)``.
+    """
+    key = (cfg, k)
+    if key not in _LAZY_CACHE:
+        def block(carry: LazyCarry):
+            def body(c, _):
+                return lazy_step(cfg, c)
+            return jax.lax.scan(body, carry, None, length=k)
+        _LAZY_CACHE[key] = jax.jit(block, donate_argnums=(0,))
+    return _LAZY_CACHE[key]
+
+
 def drive_loop_lazy(cfg: SphConfig, state: ParticleState, num_steps: int,
                     collect_diags: bool = True, carry: LazyCarry | None = None,
-                    keep_carry: bool = False):
+                    keep_carry: bool = False, scan_block: int = 0):
     """Host-driven lazy loop (the pallas production driver).
 
     Returns ``(state, diags)`` like ``ops.step.drive_loop``; the returned
     state is restored to the caller's particle order.  Pass ``keep_carry=True``
     to get ``(carry, diags)`` instead for chained blocks without the
-    per-block unsort.
+    per-block unsort.  ``scan_block=K`` (K > 1) runs K steps per dispatch via
+    ``lax.scan`` — a dispatch-amortization dial for small scenes; per-step
+    diagnostics are preserved as scan ys.
     """
     if carry is None:
         carry = jax.jit(partial(init_lazy, cfg))(state)
     f = _cached_lazy_step(cfg)
     diags = []
-    for _ in range(num_steps):
+    remaining = num_steps
+    if scan_block > 1:
+        fk = _cached_lazy_scan(cfg, scan_block)
+        while remaining >= scan_block:
+            carry, dk = fk(carry)
+            remaining -= scan_block
+            if collect_diags:
+                diags.extend(jax.tree.map(lambda x, i=i: x[i], dk)
+                             for i in range(scan_block))
+    for _ in range(remaining):
         carry, d = f(carry)
         if collect_diags:
             diags.append(d)

@@ -98,3 +98,18 @@ def test_validate_rejects_unsupported_modes():
     cfg, state = _scene(second_kick="full")
     with pytest.raises(ValueError):
         lazy.init_lazy(cfg, state)
+
+
+def test_scan_block_matches_host_loop():
+    """drive_loop_lazy(scan_block=K) must reproduce the host loop exactly:
+    same final state, same per-step diagnostics (incl. a remainder tail
+    when num_steps % K != 0)."""
+    cfg, state = _scene()
+    st_a, di_a = lazy.drive_loop_lazy(cfg, state, 7)
+    st_b, di_b = lazy.drive_loop_lazy(cfg, state, 7, scan_block=3)
+    np.testing.assert_array_equal(np.asarray(st_a.position),
+                                  np.asarray(st_b.position))
+    np.testing.assert_array_equal(np.asarray(st_a.velocity),
+                                  np.asarray(st_b.velocity))
+    for a, b in zip(jax.tree.leaves(di_a), jax.tree.leaves(di_b)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
