@@ -130,6 +130,11 @@ class SphConfig:
     # reciprocal + one Newton step — full f32 precision at fewer VPU slots).
     # Sublane pallas kernel only; per-op costs in tools/probe_vpu_ops.py.
     force_recip: str = "div"
+    # Run integrate+reflect+tally as ONE fused pallas pass over a flat
+    # component layout (ops/pallas_kdk.py) instead of the XLA formulation —
+    # per-particle results bit-exact, tally reduce order differs.  Single-chip
+    # lazy driver only; measured on hardware via tools/probe_kdk.py.
+    fused_kdk: bool = False
 
     # ---------------------------------------------------------------------------
     # Derived constants (float32-faithful to /root/reference/src/sph.cpp:46-95)

@@ -1,0 +1,76 @@
+"""Fused pallas kdk (ops/pallas_kdk.py) vs the XLA integrate oracle."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from smoothed_particle_hydrodynamics_tpu.models import make_scene
+from smoothed_particle_hydrodynamics_tpu.ops import lazy
+from smoothed_particle_hydrodynamics_tpu.ops.integrate import kdk_integrate
+from smoothed_particle_hydrodynamics_tpu.ops.pallas_kdk import (
+    kdk_integrate_fused)
+
+
+@pytest.mark.parametrize("scene,kw", [
+    ("splash", {}),                                  # reflect, no central mass
+    ("disk", {"second_kick": "gravity"}),            # central gravity kick
+])
+def test_fused_kdk_matches_oracle(scene, kw):
+    cfg, state = make_scene(scene, num_particles=900, pallas_interpret=True,
+                            **kw)
+    rng = np.random.default_rng(3)
+    acc = jnp.asarray(rng.normal(0.0, 5.0, state.position.shape), jnp.float32)
+    st_o, t_o = jax.jit(lambda s, a: kdk_integrate(cfg, s, a))(state, acc)
+    st_f, t_f = jax.jit(lambda s, a: kdk_integrate_fused(cfg, s, a))(state, acc)
+    # kick/drift/reflect chain is bit-exact (same op sequence per element);
+    # the gravity second kick can differ by 1 ulp — the kernel's explicit
+    # x*x + y*y sums are FMA-contracted where the oracle's jnp.sum reduce
+    # is not (backend fusion, not an op-order bug: verified term-by-term)
+    np.testing.assert_array_equal(np.asarray(st_f.position),
+                                  np.asarray(st_o.position))
+    if kw.get("second_kick") == "gravity":
+        np.testing.assert_allclose(np.asarray(st_f.velocity),
+                                   np.asarray(st_o.velocity),
+                                   rtol=1e-4, atol=2e-6)
+    else:
+        np.testing.assert_array_equal(np.asarray(st_f.velocity),
+                                      np.asarray(st_o.velocity))
+    # tallies agree up to f32 reduction order
+    np.testing.assert_allclose(float(t_f.kinetic), float(t_o.kinetic),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(t_f.potential), float(t_o.potential),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(t_f.l_vec), np.asarray(t_o.l_vec),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_fused_kdk_in_lazy_driver():
+    """cfg.fused_kdk swaps the integrate inside lazy_step; trajectories must
+    match the default driver bit-for-bit at every step."""
+    base = dict(num_particles=768, pallas_layout="sublane",
+                pallas_interpret=True, pallas_window_t=64)
+    cfg_a, state = make_scene("splash", **base)
+    cfg_b, _ = make_scene("splash", fused_kdk=True, **base)
+    st_a, di_a = lazy.drive_loop_lazy(cfg_a, state, 4)
+    st_b, di_b = lazy.drive_loop_lazy(cfg_b, state, 4)
+    # NOT bit-equal across steps: inside the full lazy program XLA's fusion
+    # applies FMA contraction differently around the pallas_call boundary
+    # (measured: 1-ulp velocity differences at step 1), so trajectories track
+    # at f32 rounding level rather than exactly
+    np.testing.assert_allclose(np.asarray(st_a.position),
+                               np.asarray(st_b.position),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(st_a.velocity),
+                               np.asarray(st_b.velocity),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(di_a.kinetic_energy),
+                               np.asarray(di_b.kinetic_energy), rtol=1e-4)
+
+
+def test_fused_kdk_rejects_compat():
+    cfg, state = make_scene("disk", num_particles=256, compat=True,
+                            cell_size_factor=2.0)
+    acc = jnp.zeros_like(state.position)
+    with pytest.raises(ValueError):
+        kdk_integrate_fused(cfg, state, acc)

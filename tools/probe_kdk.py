@@ -34,6 +34,8 @@ from jax.experimental.pallas import tpu as pltpu
 from smoothed_particle_hydrodynamics_tpu.models import make_scene
 from smoothed_particle_hydrodynamics_tpu.ops.integrate import (
     kdk_integrate, reflect_boundary, energy_tally)
+from smoothed_particle_hydrodynamics_tpu.ops.pallas_kdk import (
+    kdk_integrate_fused)
 from smoothed_particle_hydrodynamics_tpu.ops.physics import central_gravity
 
 _f32 = jnp.float32
@@ -55,111 +57,6 @@ def bench(name, fn, *args, iters=20):
     dt = (time.perf_counter() - t0) / iters * 1000
     print(f"{name:46s} {dt:9.3f} ms")
     return out
-
-
-# ---------------------------------------------------------------------------
-# Pallas fused kdk on a flat [9+1, N] component layout
-# ---------------------------------------------------------------------------
-
-def _kdk_kernel(cfg, x_ref, m_ref, o_ref, t_ref):
-    """x_ref [9, ROWS, 128]: px py pz vx vy vz ax ay az; m_ref [ROWS,128].
-
-    o_ref [6, ROWS, 128]: new p, new v.  t_ref [8, 128]: per-block tally
-    partial (KE, PE, Lx, Ly, Lz, 0, 0, 0) summed over sublanes.
-    """
-    dt = _f32(cfg.dt)
-    pos_dt = dt * _f32(1.0 / cfg.sim_scale)
-    box = [float(b) for b in cfg.box_max]
-    cx, cy, cz = [float(c) for c in cfg.central_pos]
-    gm_py = float(cfg.grav_constant) * float(cfg.central_mass)
-    gm = _f32(gm_py)
-    soft = _f32(cfg.softening_eff)
-    damp = _f32(cfg.damping)
-    s = _f32(cfg.sim_scale)
-    m = m_ref[...]
-
-    def axis(i):
-        p0 = x_ref[i]
-        v = x_ref[3 + i] + x_ref[6 + i] * (dt * 0.5)
-        return p0, v
-
-    p0s, vhs = zip(*(axis(i) for i in range(3)))
-    nps = [p0s[i] + vhs[i] * pos_dt for i in range(3)]
-
-    if cfg.second_kick == "gravity" and gm_py != 0.0:
-        # a = -G M rel / (|rel| + eps)^3, rel scaled (ops/physics.py:51-62)
-        dx, dy, dz = nps[0] - cx, nps[1] - cy, nps[2] - cz
-        r2 = (dx * dx + dy * dy + dz * dz) * (s * s)
-        dist = jnp.sqrt(r2)
-        den = dist + soft
-        k = -gm / (den * den * den) * s
-        nvs = [vhs[i] + k * (dx, dy, dz)[i] * dt for i in range(3)]
-    else:
-        nvs = list(vhs)
-
-    if cfg.boundary == "reflect":
-        out_p, out_v = [], []
-        for i in range(3):
-            npi, nvi, p0i = nps[i], nvs[i], p0s[i]
-            below = npi < 0.0
-            above = npi > box[i]
-            crossed = below | above
-            disp = npi - p0i
-            safe = jnp.where(disp == 0.0, 1e-30, disp)
-            f_hit = jnp.where(below, -p0i / safe,
-                              jnp.where(above, (box[i] - p0i) / safe, 0.0))
-            refl_v = jnp.where(crossed, -nvi, nvi)
-            inter = p0i + disp * f_hit
-            remain = jnp.maximum(1.0 - f_hit, 0.0)
-            bounced = inter - disp * (remain * damp)
-            pi = jnp.where(crossed, bounced, npi)
-            out_p.append(jnp.clip(pi, 0.0, box[i]))
-            out_v.append(refl_v)
-        nps, nvs = out_p, out_v
-
-    for i in range(3):
-        o_ref[i] = nps[i]
-        o_ref[3 + i] = nvs[i]
-
-    # tally (default mode): KE, PE, L about the center
-    rx, ry, rz = [(nps[i] - (cx, cy, cz)[i]) * s for i in range(3)]
-    v2 = nvs[0] * nvs[0] + nvs[1] * nvs[1] + nvs[2] * nvs[2]
-    ke = jnp.where(jnp.isfinite(v2), 0.5 * m * v2, 0.0)
-    if gm_py != 0.0:
-        dist = jnp.sqrt(rx * rx + ry * ry + rz * rz)
-        pe = gm * m / (dist + soft)
-    else:
-        # gm == 0 scenes: the PE column is identically zero; skipping the
-        # sqrt/divide pass statically is exact (0.0 * x cannot fold in fp)
-        pe = jnp.zeros_like(ke)
-    lx = m * (ry * nvs[2] - rz * nvs[1])
-    ly = m * (rz * nvs[0] - rx * nvs[2])
-    lz = m * (rx * nvs[1] - ry * nvs[0])
-    zero = jnp.zeros_like(ke)
-    cols = [ke, pe, lx, ly, lz, zero, zero, zero]
-    for c in range(8):
-        t_ref[c] = jnp.sum(cols[c], axis=0)
-
-
-def fused_kdk(cfg, n_pad, interpret=False):
-    nblk = n_pad // (ROWS * 128)
-    f = pl.pallas_call(
-        partial(_kdk_kernel, cfg),
-        grid=(nblk,),
-        in_specs=[pl.BlockSpec((9, ROWS, 128), lambda i: (0, i, 0)),
-                  pl.BlockSpec((ROWS, 128), lambda i: (i, 0))],
-        out_specs=[pl.BlockSpec((6, ROWS, 128), lambda i: (0, i, 0)),
-                   pl.BlockSpec((8, 128), lambda i: (i, 0))],
-        out_shape=[jax.ShapeDtypeStruct((6, n_pad // 128, 128), jnp.float32),
-                   jax.ShapeDtypeStruct((8 * nblk, 128), jnp.float32)],
-        interpret=interpret,
-    )
-
-    def run(x, m):
-        out, part = f(x, m)
-        t = jnp.sum(part.reshape(nblk, 8, 128), axis=(0, 2))
-        return out, t[0], -t[1], t[2:5]
-    return run
 
 
 def main(n=1_000_000):
@@ -195,36 +92,20 @@ def main(n=1_000_000):
     bench("  - reflect removed", no_reflect, state, acc)
     bench("  - bare kick+drift", bare, state, acc)
 
-    # fused pallas variant on the flat component layout
-    n_pad = -(-n // (ROWS * 128)) * (ROWS * 128)
+    # production fused pallas kdk (ops/pallas_kdk.py) — includes its own
+    # pack/unpack, i.e. exactly what cfg.fused_kdk pays per step
+    if jax.devices()[0].platform == "cpu":
+        cfg = cfg.replace(pallas_interpret=True)
+    out = bench("pallas fused kdk (production)",
+                partial(kdk_integrate_fused, cfg), state, acc)
 
-    def to_flat(st, a):
-        def col(v, i):
-            c = jnp.zeros((n_pad,), jnp.float32)
-            return c.at[:n].set(v[:, i]).reshape(n_pad // 128, 128)
-        x = jnp.stack([col(st.position, 0), col(st.position, 1),
-                       col(st.position, 2), col(st.velocity, 0),
-                       col(st.velocity, 1), col(st.velocity, 2),
-                       col(a, 0), col(a, 1), col(a, 2)])
-        m = jnp.zeros((n_pad,), jnp.float32).at[:n].set(st.mass) \
-            .reshape(n_pad // 128, 128)
-        return x, m
-
-    x, m = jax.jit(to_flat)(state, acc)
-    run = fused_kdk(cfg, n_pad,
-                    interpret=jax.devices()[0].platform == "cpu")
-    out = bench("pallas fused kdk (flat layout)", run, x, m)
-    bench("  flat pack cost (for reference)", to_flat, state, acc)
-
-    # correctness vs production
-    (st2, tally) = jax.jit(partial(kdk_integrate, cfg))(state, acc)
-    o, ke, pe, l_vec = out
-    o = np.asarray(o)[:, : -(-n // 128)].reshape(6, -1)[:, :n]
-    p_err = np.abs(o[0:3].T - np.asarray(st2.position)).max()
-    v_err = np.abs(o[3:6].T - np.asarray(st2.velocity)).max()
+    st2, tally = jax.jit(partial(kdk_integrate, cfg))(state, acc)
+    st_f, t_f = out
+    p_err = np.abs(np.asarray(st_f.position) - np.asarray(st2.position)).max()
+    v_err = np.abs(np.asarray(st_f.velocity) - np.asarray(st2.velocity)).max()
     print(f"pos max err {p_err:.3e}  vel max err {v_err:.3e}  "
-          f"KE {float(ke):.6g} vs {float(tally.kinetic):.6g}  "
-          f"PE {float(pe):.6g} vs {float(tally.potential):.6g}")
+          f"KE {float(t_f.kinetic):.6g} vs {float(tally.kinetic):.6g}  "
+          f"PE {float(t_f.potential):.6g} vs {float(tally.potential):.6g}")
 
 
 if __name__ == "__main__":
