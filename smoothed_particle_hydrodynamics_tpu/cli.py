@@ -236,7 +236,7 @@ def cmd_run(args) -> int:
                 def run(s, num_steps):
                     carry, diags = drive_loop_lazy(
                         run_cfg, s, num_steps, carry=lazy_ctx["carry"],
-                        keep_carry=True)
+                        keep_carry=True, scan_block=args.scan_block)
                     lazy_ctx["carry"] = carry
                     return unsort_carry(carry), diags
                 return run
@@ -600,6 +600,10 @@ def main(argv=None) -> int:
     p.add_argument("--lazy", action=argparse.BooleanOptionalAction, default=None,
                    help="lazy rebinning driver (default: auto — on for the "
                         "sublane pallas backend)")
+    p.add_argument("--scan-block", type=int, default=0,
+                   help="lazy driver: steps per dispatch via lax.scan "
+                        "(dispatch amortization for small scenes; 0 = host "
+                        "loop, the 1M-measured default)")
     p.add_argument("--quiet", action="store_true")
     p.set_defaults(fn=cmd_run)
 
