@@ -435,3 +435,26 @@ def test_slab_pallas_enforces_kernel_constraints():
     with pytest.raises(ValueError, match="pallas_groups"):
         slabs.make_slab_step(cfg, mesh, p_cap, h_cap, m_cap,
                              sweeps="pallas", sub_len=256)
+
+
+def test_slab_fused_kdk_matches_single_device():
+    """cfg.fused_kdk swaps the slab engine's integrate for the pallas pass
+    (inside shard_map); physics and fused-collective diagnostics must still
+    match the single-device celllist run."""
+    steps = 2
+    cfg, state = _scene(fused_kdk=True, pallas_interpret=True)
+    mesh = make_mesh(8)
+    p_cap, h_cap, m_cap = slabs.derive_slab_caps(cfg, state, 8)
+    carry = slabs.distribute(cfg, state, mesh, p_cap)
+    f = slabs.make_slab_step(cfg, mesh, p_cap, h_cap, m_cap, donate=False)
+    for _ in range(steps):
+        carry, diag = f(carry)
+    got = slabs.collect(carry, cfg.num_particles)
+    ref, ref_diag = _run_single(cfg.replace(fused_kdk=False), state, steps)
+    np.testing.assert_allclose(np.asarray(got.position),
+                               np.asarray(ref.position),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(float(diag.kinetic_energy),
+                               float(ref_diag.kinetic_energy), rtol=1e-4)
+    np.testing.assert_allclose(float(diag.angular_momentum),
+                               float(ref_diag.angular_momentum), rtol=1e-4)
