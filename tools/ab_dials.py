@@ -1,12 +1,16 @@
 """A/B the production lazy driver under config-dial overrides.
 
-Times steady-state and rebin steps of the single-chip lazy pallas driver at
-a given N for each named override set, all in one process from identical
-initial state, printing a per-variant line.  Used for the round-3 hardware
-A/Bs of ``fused_kdk``, ``force_recip``, and friends
-(docs/PERFORMANCE.md round-3 session-3 items 18-21).
+Interleaved design: every variant gets its own settled carry + jitted step,
+then measurement alternates between variants in R rounds of B steps each
+(V1 B-steps, V2 B-steps, ..., V1 B-steps, ...).  Tunnel/day drift hits all
+variants equally, unlike sequential fresh-process runs where ±10% drift
+between processes swamps few-percent dial effects (measured 2026-08-18:
+capped baseline read 97.3 / 109.8 ms steady in two back-to-back processes).
 
-Usage: python tools/ab_dials.py [N] [K_c] [steps] -- then edit VARIANTS.
+Used for the round-3 hardware A/Bs of ``fused_kdk``, ``force_recip``, and
+friends (docs/PERFORMANCE.md round-3 session-3 items 18-21).
+
+Usage: python tools/ab_dials.py [N] [K_c] [rounds] [block] [only,names]
 """
 
 from __future__ import annotations
@@ -15,7 +19,6 @@ import sys
 import time
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from smoothed_particle_hydrodynamics_tpu.models import make_scene
@@ -26,61 +29,71 @@ VARIANTS = [
     ("baseline", {}),
     ("fused_kdk", {"fused_kdk": True}),
     ("force_recip", {"force_recip": "recip"}),
-    ("force_approx2", {"force_recip": "approx2"}),
     ("fused+recip", {"fused_kdk": True, "force_recip": "recip"}),
 ]
 
+SETTLE = 10
 
-def run_variant(name, extra, n, k_c, steps, settle):
-    ov = dict(num_particles=n, cell_size_factor=1.25,
-              pallas_interpret=jax.devices()[0].platform == "cpu")
-    if k_c:
-        ov.update(capped_candidates=k_c, pallas_window_t=0)
-    ov.update(extra)
-    cfg, state = make_scene("splash", **ov)
-    if cfg.pallas_window_t == 0:
-        cfg = cfg.replace(pallas_window_t=pst.derive_window_t(cfg, state))
-    if k_c and cfg.capped_sub_len == 0:
-        cfg = cfg.replace(capped_sub_len=pst.derive_sub_len(cfg, state))
 
-    carry, _ = lazy.drive_loop_lazy(cfg, state, settle,
-                                    collect_diags=False, keep_carry=True)
-    step = jax.jit(lambda c: lazy.lazy_step(cfg, c)[0])
-    carry2 = step(carry)
-    np.asarray(carry2.state.position[:1, :1])  # compile + sync
+class Variant:
+    def __init__(self, name, extra, n, k_c):
+        self.name = name
+        ov = dict(num_particles=n, cell_size_factor=1.25,
+                  pallas_interpret=jax.devices()[0].platform == "cpu")
+        if k_c:
+            ov.update(capped_candidates=k_c, pallas_window_t=0)
+        ov.update(extra)
+        cfg, state = make_scene("splash", **ov)
+        if cfg.pallas_window_t == 0:
+            cfg = cfg.replace(pallas_window_t=pst.derive_window_t(cfg, state))
+        if k_c and cfg.capped_sub_len == 0:
+            cfg = cfg.replace(capped_sub_len=pst.derive_sub_len(cfg, state))
+        self.carry, _ = lazy.drive_loop_lazy(cfg, state, SETTLE,
+                                             collect_diags=False,
+                                             keep_carry=True)
+        self.step = jax.jit(lambda c, _cfg=cfg: lazy.lazy_step(_cfg, c)[0])
+        c2 = self.step(self.carry)          # compile outside the timed region
+        np.asarray(c2.state.position[:1, :1])
+        self.times, self.rebinned = [], []
 
-    times, rebinned = [], []
-    rb_prev = int(carry.rebin_count)
-    for _ in range(steps):
-        t0 = time.perf_counter()
-        carry = step(carry)
-        np.asarray(carry.state.position[:1, :1])
-        dt = (time.perf_counter() - t0) * 1000
-        rb = int(carry.rebin_count)
-        times.append(dt)
-        rebinned.append(rb > rb_prev)
-        rb_prev = rb
-    t, m = np.asarray(times), np.asarray(rebinned)
-    steady = float(t[~m].mean()) if (~m).any() else float("nan")
-    rebin = float(t[m].mean()) if m.any() else float("nan")
-    ke = float(carry.state.velocity[:, 0].sum())  # cheap state fingerprint
-    print(f"{name:18s} all {t.mean():8.3f}  steady {steady:8.3f} ms  "
-          f"rebin {rebin:8.3f} ms  (rebins {int(m.sum())}/{steps})  "
-          f"fp {ke:+.6e}", flush=True)
+    def measure_block(self, block):
+        rb_prev = int(self.carry.rebin_count)
+        for _ in range(block):
+            t0 = time.perf_counter()
+            self.carry = self.step(self.carry)
+            np.asarray(self.carry.state.position[:1, :1])
+            self.times.append((time.perf_counter() - t0) * 1000)
+            rb = int(self.carry.rebin_count)
+            self.rebinned.append(rb > rb_prev)
+            rb_prev = rb
+
+    def report(self):
+        t = np.asarray(self.times)
+        m = np.asarray(self.rebinned)
+        steady = float(np.median(t[~m])) if (~m).any() else float("nan")
+        rebin = float(np.median(t[m])) if m.any() else float("nan")
+        fp = float(self.carry.state.velocity[:, 0].sum())
+        print(f"{self.name:14s} mean {t.mean():8.3f}  steady-med {steady:8.3f}"
+              f" ms  rebin-med {rebin:8.3f} ms  (rebins {int(m.sum())}"
+              f"/{len(t)})  fp {fp:+.6e}", flush=True)
 
 
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     k_c = int(sys.argv[2]) if len(sys.argv) > 2 else 0
-    steps = int(sys.argv[3]) if len(sys.argv) > 3 else 20
-    settle = int(sys.argv[4]) if len(sys.argv) > 4 else 10
+    rounds = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+    block = int(sys.argv[4]) if len(sys.argv) > 4 else 10
     only = sys.argv[5].split(",") if len(sys.argv) > 5 else None
-    print(f"n={n} K_c={k_c} steps={steps} settle={settle} "
-          f"device={jax.devices()[0]}")
-    for name, extra in VARIANTS:
-        if only and name not in only:
-            continue
-        run_variant(name, extra, n, k_c, steps, settle)
+    names = [(nm, ex) for nm, ex in VARIANTS if not only or nm in only]
+    print(f"n={n} K_c={k_c} rounds={rounds} block={block} "
+          f"device={jax.devices()[0]}", flush=True)
+    variants = [Variant(nm, ex, n, k_c) for nm, ex in names]
+    for r in range(rounds):
+        for v in variants:
+            v.measure_block(block)
+        print(f"  round {r + 1}/{rounds} done", flush=True)
+    for v in variants:
+        v.report()
 
 
 if __name__ == "__main__":
