@@ -1,0 +1,91 @@
+"""Strong-scaling projection: measured per-chip slab constants at N/D loads.
+
+A D-chip slab run gives each chip a z-slab holding ~N/D particles at the
+SAME physical density (scenes are rest-spacing lattices — box volume scales
+with n), so the 1-device-mesh slab engine at n = N/D measures the real
+per-chip step cost of the D-chip run: the sweeps see the same occupancy and
+window structure, and the halo/migration machinery executes (self-permute)
+with the same code path.  What the proxy omits is only the ICI hop itself
+(~0.5 MB of halo rows per step, tens of microseconds on v5e ICI) and
+cross-device imbalance (bounded separately by derive_zsplit's plane
+granularity, docs/PERFORMANCE.md round-3).
+
+Each measurement runs in a FRESH subprocess via ``bench.py --row`` —
+in-process sequences of large benchmarks contaminate each other by 10-15%
+on this stack (docs/PERFORMANCE.md finding 7).
+
+Usage: python tools/scale_projection.py [--sizes 125000,250000,...] [--chips 8]
+Writes docs/scale_projection.json and prints a markdown table.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_row(row: str, n: int, timeout: int = 1800) -> dict | None:
+    cmd = [sys.executable, os.path.join(REPO, "bench.py"), "--row", row,
+           "-n", str(n), "--scene", "splash", "--steps", "50",
+           "--warmup", "5", "--slab-sweeps", "pallas"]
+    try:
+        out = subprocess.run(cmd, capture_output=True, text=True,
+                             timeout=timeout, cwd=REPO)
+        return json.loads(out.stdout.strip().splitlines()[-1])
+    except Exception as e:  # noqa: BLE001 - record the failure, keep going
+        print(f"  ROW FAILED {row} n={n}: {e}", flush=True)
+        return None
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sizes", default="125000,250000,500000,1000000,1250000")
+    ap.add_argument("--chips", type=int, default=8)
+    ap.add_argument("--rows", default="slab_1dev,slab_capped_k4")
+    ap.add_argument("--out", default=os.path.join(REPO, "docs",
+                                                  "scale_projection.json"))
+    args = ap.parse_args()
+    sizes = [int(s) for s in args.sizes.split(",")]
+    rows = args.rows.split(",")
+    d = args.chips
+
+    results = []
+    for n in sizes:
+        for row in rows:
+            print(f"measuring {row} @ n/chip={n} ...", flush=True)
+            r = run_row(row, n)
+            if r is None:
+                continue
+            ms = r["ms_per_step"]
+            rec = {"row": row, "n_per_chip": n, "ms_per_step": ms,
+                   "pps_per_chip": n / ms * 1e3,
+                   "aggregate_n": n * d,
+                   "projected_pps_x%d" % d: n * d / ms * 1e3,
+                   "rebins": r.get("rebins"),
+                   "migration_dropped": r.get("migration_dropped"),
+                   "halo_dropped": r.get("halo_dropped")}
+            results.append(rec)
+            print("  " + json.dumps(rec), flush=True)
+
+    with open(args.out, "w") as f:
+        json.dump({"chips": d, "rows": results}, f, indent=1)
+    print(f"\nwrote {args.out}\n")
+
+    key = "projected_pps_x%d" % d
+    print(f"| mode | n/chip | ms/step | pps/chip | {d}-chip aggregate N "
+          f"| projected {d}-chip pps |")
+    print("|---|---|---|---|---|---|")
+    for r in results:
+        print(f"| {r['row']} | {r['n_per_chip']:,} | {r['ms_per_step']:.1f} "
+              f"| {r['pps_per_chip']:.3g} | {r['aggregate_n']:,} "
+              f"| **{r[key]:.3g}** |")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
