@@ -31,7 +31,8 @@ def _run_row(row: str, args) -> dict | None:
     cmd = [sys.executable, os.path.abspath(__file__), "--row", row,
            "--scene", args.scene, "-n", str(args.num_particles),
            "--steps", str(args.steps), "--warmup", str(args.warmup),
-           "--slab-sweeps", args.slab_sweeps]
+           "--slab-sweeps", args.slab_sweeps,
+           "--grid-nz", str(args.grid_nz)]
     try:
         out = subprocess.run(cmd, capture_output=True, text=True,
                              timeout=2400)
@@ -46,6 +47,13 @@ def _compute_row(row: str, args) -> dict:
 
     steps = max(args.steps // 3, 10)
     base = {"cell_size_factor": 1.25, "num_particles": args.num_particles}
+    if args.grid_nz:
+        # slab-proxy geometry (tools/scale_projection.py): an N/D z-slab of
+        # a D-chip run keeps the full pool depth over 1/D of the z-extent;
+        # benchmarking n/D in the FULL box instead degenerates to a thin
+        # sheet (at 125k: 2 particle layers, window 504 vs 64) and
+        # mis-measures the per-chip constant ~3x pessimistic
+        base["grid_nz"] = args.grid_nz
     if row == "capped_k4":
         r = run_benchmark(scene=args.scene, backend="pallas", steps=steps,
                           warmup=args.warmup,
@@ -77,15 +85,16 @@ def _compute_row(row: str, args) -> dict:
                                   "num_particles")}
     slab_keys = ("value", "ms_per_step", "p_cap", "window_t", "rebins",
                  "migration_dropped", "halo_dropped", "steps")
+    slab_ov = {"grid_nz": args.grid_nz} if args.grid_nz else {}
     if row == "slab_1dev":
         r = run_slab_benchmark(n=args.num_particles, steps=steps,
-                               sweeps=args.slab_sweeps)
+                               sweeps=args.slab_sweeps, overrides=slab_ov)
         return {k: r[k] for k in slab_keys}
     if row == "slab_capped_k4":
         r = run_slab_benchmark(n=args.num_particles, steps=steps,
                                sweeps="pallas",
-                               overrides={"capped_candidates": 4,
-                                          "pallas_window_t": 0})
+                               overrides=dict(slab_ov, capped_candidates=4,
+                                              pallas_window_t=0))
         return {k: r[k] for k in slab_keys}
     raise SystemExit(f"unknown row {row!r}")
 
@@ -106,6 +115,9 @@ def main() -> int:
     ap.add_argument("--row", default=None,
                     help="internal: compute ONE auxiliary row and exit")
     ap.add_argument("--slab-sweeps", default="pallas")
+    ap.add_argument("--grid-nz", type=int, default=0,
+                    help="override the scene's z cell-plane count (slab-proxy "
+                         "geometry for strong-scaling rows; 0 = scene default)")
     ap.add_argument("--budget", type=float,
                     default=float(os.environ.get("BENCH_BUDGET_S", 2100)),
                     help="wall-clock budget (s); auxiliary rows still "

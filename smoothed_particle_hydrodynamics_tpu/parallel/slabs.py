@@ -270,7 +270,7 @@ def _pallas_ext_pad(cfg: SphConfig, h_cap: int, p_cap: int) -> int:
 
 
 def _pallas_tables(cfg: SphConfig, cid_loc, cid_ext, h_cap: int, p_cap: int,
-                   cnt, slab_hi):
+                   cnt, slab_hi, base=None, loc_cells: int | None = None):
     """Frozen per-(block, group, rod) window tables for the pallas sweeps.
 
     Built once per rebin (frozen between rebins).  Unlike the single-chip
@@ -291,9 +291,23 @@ def _pallas_tables(cfg: SphConfig, cid_loc, cid_ext, h_cap: int, p_cap: int,
     zero chunks.  The rare window that genuinely straddles the boundary
     (lo < slab_hi <= hi: the valid->dead transition block) still walks the
     dead run — one block per device, masked junk, bounded cost.
+
+    The histogram is PLANE-LOCAL, not grid-global: a device only ever
+    queries cells in [``base`` = slab_lo - nxny, base + ``loc_cells``), so
+    the bincount/cumsum run over that static range (own planes + one halo
+    plane each side) instead of cfg.num_cells — O(N/D)-sized tables on a
+    D-device mesh.  Valid rows BELOW the range (deep tail-window halo rows —
+    never candidates) are excluded from the histogram and re-enter the
+    bounds as the scalar positional offset ``n_low``; rows above the range
+    sort after every local position and land in the sentinel bucket.
     """
     from ..ops import pallas_step_t as pt
 
+    nxny = cfg.grid_nx * cfg.grid_ny
+    if base is None:
+        base = jnp.int32(-nxny)
+    if loc_cells is None:
+        loc_cells = (cfg.grid_nz + 2) * nxny
     nblocks = p_cap // pt.BLANE
     window = cfg.pallas_window_t
     n_pad = _pallas_ext_pad(cfg, h_cap, p_cap)
@@ -317,13 +331,20 @@ def _pallas_tables(cfg: SphConfig, cid_loc, cid_ext, h_cap: int, p_cap: int,
     # array head, before every real position).
     inert = dead | (cid_ext < 0)
     n_head = jnp.sum((cid_ext[:h_cap] < 0).astype(jnp.int32))
-    search = jnp.where(inert, cfg.num_cells, jnp.clip(cid_ext, 0, cfg.num_cells))
-    counts = jnp.bincount(search, length=cfg.num_cells + 1)
+    below = (cid_ext >= 0) & (cid_ext < base) & ~dead
+    n_low = jnp.sum(below.astype(jnp.int32))
+    out = inert | below | (cid_ext >= base + loc_cells)
+    search = jnp.where(out, loc_cells,
+                       jnp.clip(cid_ext - base, 0, loc_cells))
+    counts = jnp.bincount(search, length=loc_cells + 1)
     cum = jnp.concatenate([jnp.zeros((1,), counts.dtype),
                            jnp.cumsum(counts)]).astype(jnp.int32)
-    w_start = n_head + cum[lo_cell] + jnp.where(lo_cell >= slab_hi, n_dead, 0)
-    w_end = n_head + cum[hi_cell + 1] + jnp.where(hi_cell + 1 >= slab_hi + 1,
-                                                  n_dead, 0)
+    li = jnp.clip(lo_cell - base, 0, loc_cells - 1)
+    hi_i = jnp.clip(hi_cell + 1 - base, 0, loc_cells)
+    head = n_head + n_low
+    w_start = head + cum[li] + jnp.where(lo_cell >= slab_hi, n_dead, 0)
+    w_end = head + cum[hi_i] + jnp.where(hi_cell + 1 >= slab_hi + 1,
+                                         n_dead, 0)
     w_start = jnp.clip(w_start & ~(pt.SUB - 1), 0, max(n_pad - window, 0))
     w_len = jnp.maximum(w_end - w_start, 0)
     w_chunks = jnp.where(w_len > 0, -(-w_len // window), 0)
@@ -395,11 +416,21 @@ def _capped_sub_frame(cfg: SphConfig, ext, cid_ext, sub_len: int,
 
 
 def _pallas_sub_tables(cfg: SphConfig, cid_loc, cid_search, sub_len: int,
-                       cnt):
+                       cnt, base=None, loc_cells: int | None = None):
     """Window tables over the capped sub frame: kept rows only, cid-ordered
-    and compacted to the front — plain cum positions, no offsets."""
+    and compacted to the front — plain cum positions, no offsets.
+
+    Plane-local like ``_pallas_tables``: every kept row passed the
+    ``queryable`` filter in ``_capped_sub_frame`` (own slab ± one halo
+    plane), so the histogram needs only [``base``, base + ``loc_cells``)
+    buckets and there is no below-range offset to carry."""
     from ..ops import pallas_step_t as pt
 
+    nxny = cfg.grid_nx * cfg.grid_ny
+    if base is None:
+        base = jnp.int32(-nxny)
+    if loc_cells is None:
+        loc_cells = (cfg.grid_nz + 2) * nxny
     p_cap = cid_loc.shape[0]
     nblocks = p_cap // pt.BLANE
     window = cfg.pallas_window_t
@@ -413,12 +444,14 @@ def _pallas_sub_tables(cfg: SphConfig, cid_loc, cid_search, sub_len: int,
                        0, cfg.num_cells - 1)
     hi_cell = jnp.clip(groups[:, -1][:, None] + deltas[None, :] + 1,
                        0, cfg.num_cells - 1)
-    counts = jnp.bincount(jnp.clip(cid_search, 0, cfg.num_cells),
-                          length=cfg.num_cells + 1)
+    # non-kept rows carry cid_search = num_cells >= base + loc_cells -> the
+    # sentinel bucket; kept rows are all queryable, i.e. in-range
+    counts = jnp.bincount(jnp.clip(cid_search - base, 0, loc_cells),
+                          length=loc_cells + 1)
     cum = jnp.concatenate([jnp.zeros((1,), counts.dtype),
                            jnp.cumsum(counts)]).astype(jnp.int32)
-    w_start = cum[lo_cell]
-    w_end = cum[hi_cell + 1]
+    w_start = cum[jnp.clip(lo_cell - base, 0, loc_cells - 1)]
+    w_end = cum[jnp.clip(hi_cell + 1 - base, 0, loc_cells)]
     w_start = jnp.clip(w_start & ~(pt.SUB - 1), 0, max(n_pad - window, 0))
     w_len = jnp.maximum(w_end - w_start, 0)
     w_chunks = jnp.where(w_len > 0, -(-w_len // window), 0)
@@ -708,6 +741,12 @@ def slab_step_body(cfg: SphConfig, ndev: int, p_cap: int, h_cap: int,
     zs = jnp.asarray(zsplit, jnp.int32)       # [D+1] plane split table
     slab_lo = zs[d] * nxny                    # first own cell id
     slab_hi = zs[d + 1] * nxny                # one-past-last own cell id
+    # plane-local window-table extent: widest slab + one halo plane each
+    # side (static), so the rebin histograms are O(N/D)-sized, not
+    # grid-global (num_cells) — the grid-sized bincount+cumsum dominated
+    # the rebin cost at small per-chip loads
+    tab_base = slab_lo - nxny
+    tab_cells = (max(b - a for a, b in zip(zsplit, zsplit[1:])) + 2) * nxny
     inert_row = jnp.zeros((1, _NCOLS), jnp.float32) \
         .at[0, 0:3].set(_BIG).at[0, _OID].set(-1.0)
     inert_m = jnp.broadcast_to(inert_row, (m_cap, _NCOLS))
@@ -829,12 +868,12 @@ def slab_step_body(cfg: SphConfig, ndev: int, p_cap: int, h_cap: int,
                 _capped_sub_frame(cfg, ext, cid_ext, sub_len,
                                   slab_lo, slab_hi)
             ws, wc = _pallas_sub_tables(cfg, cid_s, cid_search, sub_len,
-                                        cnt2)
+                                        cnt2, tab_base, tab_cells)
             return (ws, wc, sub_src, cand_cid_f, w_sub, dropped[None])
     elif sweeps == "pallas":
         def build_tabs(_):
             return _pallas_tables(cfg, cid_s, cid_ext, h_cap, p_cap,
-                                  cnt2, slab_hi)
+                                  cnt2, slab_hi, tab_base, tab_cells)
     else:
         def build_tabs(_):
             return _local_ranges(cfg, cid_ext, cid_s, row_valid,

@@ -1,14 +1,20 @@
 """Strong-scaling projection: measured per-chip slab constants at N/D loads.
 
-A D-chip slab run gives each chip a z-slab holding ~N/D particles at the
-SAME physical density (scenes are rest-spacing lattices — box volume scales
-with n), so the 1-device-mesh slab engine at n = N/D measures the real
-per-chip step cost of the D-chip run: the sweeps see the same occupancy and
-window structure, and the halo/migration machinery executes (self-permute)
-with the same code path.  What the proxy omits is only the ICI hop itself
-(~0.5 MB of halo rows per step, tens of microseconds on v5e ICI) and
-cross-device imbalance (bounded separately by derive_zsplit's plane
-granularity, docs/PERFORMANCE.md round-3).
+A D-chip slab run gives each chip a z-slab of the full scene: ~N/D
+particles with the FULL pool depth over 1/D of the z-extent.  The proxy
+therefore runs the 1-device-mesh slab engine on n = N/D particles in a
+``grid_nz = nz/D``-plane box — same footprint-per-plane, same occupancy and
+window structure, and (with the engine's plane-local window tables) the
+same table-build cost as one device of the real mesh.  The halo/migration
+machinery executes (self-permute) with the same code path.  What the proxy
+omits is only the ICI hop itself (~0.5 MB of halo rows per step, tens of
+microseconds on v5e ICI) and cross-device imbalance (bounded separately by
+derive_zsplit's plane granularity, docs/PERFORMANCE.md round-3).
+
+(The first projection instead ran n/D in the FULL 128-plane box: at 125k
+that degenerates to a ~2-particle-layer sheet — derived window 504 vs 64,
+sub frame 0.63N — and read ~3x pessimistic; superseded, see
+docs/PERFORMANCE.md round-3 session 6.)
 
 Each measurement runs in a FRESH subprocess via ``bench.py --row`` —
 in-process sequences of large benchmarks contaminate each other by 10-15%
@@ -29,10 +35,12 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_row(row: str, n: int, timeout: int = 1800) -> dict | None:
+def run_row(row: str, n: int, grid_nz: int = 0,
+            timeout: int = 1800) -> dict | None:
     cmd = [sys.executable, os.path.join(REPO, "bench.py"), "--row", row,
            "-n", str(n), "--scene", "splash", "--steps", "50",
-           "--warmup", "5", "--slab-sweeps", "pallas"]
+           "--warmup", "5", "--slab-sweeps", "pallas",
+           "--grid-nz", str(grid_nz)]
     try:
         out = subprocess.run(cmd, capture_output=True, text=True,
                              timeout=timeout, cwd=REPO)
@@ -54,15 +62,21 @@ def main() -> int:
     rows = args.rows.split(",")
     d = args.chips
 
+    # slab-proxy geometry: each chip of a D-mesh owns nz/D planes of the
+    # full 128-plane splash box (grid_nz must stay >= 2 and divide evenly)
+    grid_nz = 128 // d if 128 % d == 0 and 128 // d >= 2 else 0
+
     results = []
     for n in sizes:
         for row in rows:
-            print(f"measuring {row} @ n/chip={n} ...", flush=True)
-            r = run_row(row, n)
+            print(f"measuring {row} @ n/chip={n} grid_nz={grid_nz} ...",
+                  flush=True)
+            r = run_row(row, n, grid_nz)
             if r is None:
                 continue
             ms = r["ms_per_step"]
-            rec = {"row": row, "n_per_chip": n, "ms_per_step": ms,
+            rec = {"row": row, "n_per_chip": n, "grid_nz": grid_nz,
+                   "ms_per_step": ms,
                    "pps_per_chip": n / ms * 1e3,
                    "aggregate_n": n * d,
                    "projected_pps_x%d" % d: n * d / ms * 1e3,
