@@ -458,3 +458,62 @@ def test_slab_fused_kdk_matches_single_device():
                                float(ref_diag.kinetic_energy), rtol=1e-4)
     np.testing.assert_allclose(float(diag.angular_momentum),
                                float(ref_diag.angular_momentum), rtol=1e-4)
+
+def test_plane_local_window_tables_cover_candidates_mid_slab():
+    """Plane-LOCAL window tables (base > 0, a middle device) must cover every
+    true candidate row: halo rows deeper than the halo plane (below the local
+    range) enter the bounds only as a positional offset, rows above the range
+    land past every queried bound, dead rows keep their positional offset.
+    Oracle: brute-force first/last candidate position per (block, rod)."""
+    import jax.numpy as jnp
+
+    from smoothed_particle_hydrodynamics_tpu.ops import pallas_step_t as pt
+    from smoothed_particle_hydrodynamics_tpu.parallel.slabs import (
+        _pallas_tables)
+
+    cfg, _ = _scene(n=4096, pallas_window_t=64)
+    nxny = cfg.grid_nx * cfg.grid_ny
+    window = cfg.pallas_window_t
+    # middle device of a 2-dev split: planes [8, 16) -> cells [slab_lo, hi)
+    slab_lo, slab_hi = 8 * nxny, 16 * nxny
+    base = slab_lo - nxny
+    loc = (8 + 2) * nxny
+    p_cap, h_cap, cnt = 256, 128, 200
+    rng = np.random.default_rng(3)
+
+    cid_local = np.sort(rng.integers(slab_lo, slab_hi, cnt))
+    cid_local = np.concatenate(
+        [cid_local, np.full(p_cap - cnt, slab_hi - 1)]).astype(np.int32)
+    # left halo: 40 deep rows BELOW the halo plane + the halo plane itself
+    left = np.sort(np.concatenate([
+        rng.integers(slab_lo - 3 * nxny, slab_lo - nxny, 40),
+        rng.integers(slab_lo - nxny, slab_lo, h_cap - 40)]))
+    # right halo: halo plane + 30 deep rows ABOVE it
+    right = np.sort(np.concatenate([
+        rng.integers(slab_hi, slab_hi + nxny, h_cap - 30),
+        rng.integers(slab_hi + nxny, slab_hi + 3 * nxny, 30)]))
+    cid_ext = np.concatenate([left, cid_local, right]).astype(np.int32)
+
+    ws, wc = _pallas_tables(cfg, jnp.asarray(cid_local), jnp.asarray(cid_ext),
+                            h_cap, p_cap, jnp.int32(cnt), jnp.int32(slab_hi),
+                            jnp.int32(base), loc)
+    ws = np.asarray(ws).reshape(p_cap // pt.BLANE, len(pt._RODS))
+    wc = np.asarray(wc).reshape(p_cap // pt.BLANE, len(pt._RODS))
+
+    pos = np.arange(len(cid_ext))
+    dead = (pos >= h_cap + cnt) & (pos < h_cap + p_cap)
+    deltas = np.asarray([(dz * cfg.grid_ny + dy) * cfg.grid_nx
+                         for dy, dz in pt._RODS])
+    for b in range(p_cap // pt.BLANE):
+        rows = cid_local[b * pt.BLANE:(b + 1) * pt.BLANE]
+        for r, dlt in enumerate(deltas):
+            lo = np.clip(rows[0] + dlt - 1, 0, cfg.num_cells - 1)
+            hi = np.clip(rows[-1] + dlt + 1, 0, cfg.num_cells - 1)
+            cand = (~dead & (cid_ext >= max(lo, base))
+                    & (cid_ext <= min(hi, base + loc - 1)))
+            if not cand.any():
+                continue
+            first, last = pos[cand][0], pos[cand][-1]
+            end = ws[b, r] + wc[b, r] * window
+            assert ws[b, r] <= first, (b, r, ws[b, r], first)
+            assert end > last, (b, r, end, last)
