@@ -360,6 +360,17 @@ def cmd_run(args) -> int:
                 from .utils.render import render_frame
 
                 frames.append(render_frame(cfg, state))
+            if args.live_term:
+                # in-terminal repaint (reference: visualization.cpp:24-33
+                # repaints the GL pane on a timer while the sim thread runs);
+                # here the terminal is the display: clear + home + half-block
+                # splat every block boundary
+                from .utils.render import ansi_frame, render_frame
+
+                frame = ansi_frame(render_frame(cfg, state, size=256))
+                sys.stdout.write("\x1b[2J\x1b[H" + frame
+                                 + f"\nstep {done}/{total}\n")
+                sys.stdout.flush()
             if args.live:
                 # the reference repaints at 60 FPS while the sim runs
                 # (/root/reference/src/visualization.cpp:24-33); here the
@@ -505,7 +516,7 @@ def cmd_render(args) -> int:
     if args.perspective:
         img = render_frame_perspective(cfg, state)
     else:
-        img = render_frame(cfg, state)
+        img = render_frame(cfg, state, voxels=args.voxels)
     save_png(img, args.output)
     print(f"wrote {args.output}")
     return 0
@@ -576,6 +587,10 @@ def main(argv=None) -> int:
                    help="re-render the CURRENT state to this PNG every "
                         "block (atomic swap) — the reference's live "
                         "repaint loop, viewer-poll style")
+    p.add_argument("--live-term", action="store_true",
+                   help="repaint the particle splat IN the terminal every "
+                        "block (ANSI half-blocks) — the reference's live "
+                        "GL view for a headless host")
     p.add_argument("--devices", type=int, default=0,
                    help="run sharded over the first N devices (0 = single)")
     p.add_argument("--rebalance-threshold", type=float, default=1.5,
@@ -636,6 +651,10 @@ def main(argv=None) -> int:
     p.add_argument("--perspective", action="store_true",
                    help="3-D perspective camera (reference GL frustum+lookAt "
                         "analog) instead of the orthographic projection")
+    p.add_argument("--voxels", action="store_true",
+                   help="overlay occupied grid cells in red, intensity "
+                        "proportional to occupancy (the reference's "
+                        "drawVoxels checkbox, visualization.cpp:166-213)")
     p.set_defaults(fn=cmd_render)
 
     p = sub.add_parser("info", help="print resolved scene config")

@@ -129,6 +129,40 @@ def render_frame(cfg: SphConfig, state: ParticleState, size: int = 512,
     return rgb
 
 
+def ansi_frame(img: np.ndarray, cols: int = 80, rows: int = 24) -> str:
+    """Greyscale image -> ANSI half-block string: the in-terminal live view.
+
+    The reference repaints its GL pane at 60 FPS while the sim runs
+    (/root/reference/src/visualization.cpp:24-33); on a headless TPU host the
+    terminal IS the display, so each character cell renders two vertically
+    stacked pixels with the upper-half-block glyph (foreground = top pixel,
+    background = bottom pixel) on the 24-level xterm-256 greyscale ramp.
+    Downsampling is block-max so sparse splats stay visible at 80x24.
+    """
+    if img.ndim == 3:
+        img = img.max(axis=-1)
+    h, w = img.shape
+    ph, pw = rows * 2, cols
+    # block-max pool onto a (2*rows, cols) pixel grid
+    ys = np.minimum((np.arange(ph + 1) * h) // ph, h)
+    xs = np.minimum((np.arange(pw + 1) * w) // pw, w)
+    pix = np.zeros((ph, pw), np.uint8)
+    for r in range(ph):
+        row = img[ys[r]:max(ys[r + 1], ys[r] + 1)]
+        seg = np.maximum.reduceat(row.max(axis=0), xs[:-1])
+        pix[r] = seg
+    # xterm-256 greyscale ramp: 232 (near black) .. 255 (near white)
+    shade = 232 + (pix.astype(np.int32) * 24) // 256
+    out = []
+    for r in range(rows):
+        line = []
+        for c in range(cols):
+            line.append(f"\x1b[38;5;{shade[2 * r, c]}m"
+                        f"\x1b[48;5;{shade[2 * r + 1, c]}m▀")
+        out.append("".join(line) + "\x1b[0m")
+    return "\n".join(out)
+
+
 def save_png(img: np.ndarray, path: str) -> None:
     if _HAVE_PIL:
         Image.fromarray(img, mode="L" if img.ndim == 2 else "RGB").save(path)

@@ -58,6 +58,12 @@ def test_render_cmd(tmp_path):
     rc = main(["render", f"{out}/final_state.npz", "-o", png,
                "--scene", "disk", "-n", "512"])
     assert rc == 0 and os.path.getsize(png) > 100
+    # the reference's drawVoxels checkbox (visualization.cpp:166-213):
+    # occupied cells overlaid in red -> RGB png, strictly more bytes than L
+    vox = str(tmp_path / "v.png")
+    rc = main(["render", f"{out}/final_state.npz", "-o", vox, "--voxels",
+               "--scene", "disk", "-n", "512"])
+    assert rc == 0 and os.path.getsize(vox) > 100
 
 
 def test_unknown_field_rejected():
@@ -114,6 +120,19 @@ def test_run_live_frame(tmp_path):
                "--block", "2", "--out", out, "--live", live, "--quiet"])
     assert rc == 0
     assert os.path.getsize(live) > 100
+
+
+def test_run_live_term(tmp_path, capsys):
+    """--live-term repaints an ANSI half-block splat every block — the
+    in-terminal analog of the reference's 60 FPS GL repaint
+    (visualization.cpp:24-33)."""
+    out = str(tmp_path / "outt")
+    rc = main(["run", "--scene", "disk", "-n", "512", "--steps", "4",
+               "--block", "2", "--out", out, "--live-term", "--quiet"])
+    assert rc == 0
+    cap = capsys.readouterr().out
+    assert "\x1b[2J\x1b[H" in cap          # clear + home per repaint
+    assert "▀" in cap and "\x1b[38;5;" in cap
 
 
 def test_run_capped_mode(tmp_path):

@@ -90,6 +90,24 @@ def test_render_frame_and_files(tmp_path):
     assert os.path.exists(gif) or os.path.isdir(str(tmp_path / "a"))
 
 
+def test_ansi_frame_shape_and_shading():
+    """The terminal live view: rows lines of cols half-block cells, darker
+    pixels mapping to lower xterm-256 greyscale indices."""
+    from smoothed_particle_hydrodynamics_tpu.utils.render import ansi_frame
+
+    img = np.zeros((64, 64), np.uint8)
+    img[:32] = 255                        # bright top half
+    s = ansi_frame(img, cols=20, rows=10)
+    lines = s.split("\n")
+    assert len(lines) == 10
+    assert all(line.count("▀") == 20 for line in lines)
+    assert "\x1b[38;5;255m" in lines[0]   # bright ramp top in the first row
+    assert "\x1b[38;5;232m" in lines[-1]  # black ramp bottom in the last row
+    # rgb input collapses to its max channel
+    rgb = np.stack([img, np.zeros_like(img), np.zeros_like(img)], axis=-1)
+    assert ansi_frame(rgb, cols=20, rows=10) == s
+
+
 def test_config_json_roundtrip():
     cfg = SphConfig(viscosity=0.5, boundary="reflect", gravity=(0.0, -9.8, 0.0))
     cfg2 = SphConfig.from_json(cfg.to_json())
