@@ -522,6 +522,83 @@ def cmd_render(args) -> int:
     return 0
 
 
+_SPARK = "▁▂▃▄▅▆▇█"
+
+
+def _sparkline(vals, width: int = 48) -> str:
+    """Last ``width`` values as a unicode sparkline (constant series -> ▁)."""
+    vals = list(vals)[-width:]
+    if not vals:
+        return ""
+    lo, hi = min(vals), max(vals)
+    span = hi - lo
+    if span <= 0 or not (span == span):  # constant or NaN
+        return _SPARK[0] * len(vals)
+    return "".join(_SPARK[min(int((v - lo) / span * 8), 7)] for v in vals)
+
+
+def cmd_watch(args) -> int:
+    """Live terminal dashboard over a run's diagnostics.jsonl.
+
+    The reference's main window shows a per-step timing panel plus live
+    energy behavior while the sim thread runs (/root/reference/src/
+    widget.cpp:91-111, main.cpp:39-45); ``watch`` is that panel for a
+    headless host: point it at the --out directory of a running (or
+    finished) sim and it repaints sparklines of energy drift, |L|, step
+    time and neighbor stats every --interval seconds.
+    """
+    path = os.path.join(args.out, "diagnostics.jsonl")
+    last_n = 0
+    while True:
+        rows = []
+        try:
+            with open(path) as fh:
+                for ln in fh:
+                    ln = ln.strip()
+                    if ln:
+                        try:
+                            rows.append(json.loads(ln))
+                        except json.JSONDecodeError:
+                            pass  # mid-write tail row
+        except FileNotFoundError:
+            if args.once:
+                print(f"no diagnostics at {path}", file=sys.stderr)
+                return 1
+            time.sleep(args.interval)
+            continue
+        if rows:
+            r = rows[-1]
+            e0 = rows[0]["total_energy"]
+            drift = [(x["total_energy"] - e0) / abs(e0) if e0 else 0.0
+                     for x in rows]
+            lines = [
+                f"watch {args.out}  step {r['step']}  "
+                f"{r['step_ms']:.2f} ms/step  rows {len(rows)}"
+                + ("" if len(rows) > last_n else "  (idle)"),
+                f"E_total {r['total_energy']:.6e}  "
+                f"drift {drift[-1]:+.3e}  {_sparkline(drift)}",
+                f"|L|     {r['angular_momentum']:.6e}  "
+                f"{_sparkline([x['angular_momentum'] for x in rows])}",
+                f"step_ms {r['step_ms']:8.2f}       "
+                f"{_sparkline([x['step_ms'] for x in rows])}",
+                f"nbr mean {r['neighbor_mean']:7.2f}  "
+                f"max {r['neighbor_max']}  min {r['neighbor_min']}  "
+                f"{_sparkline([x['neighbor_mean'] for x in rows])}",
+            ]
+            bad = {k: r[k] for k in ("overflow_cells", "truncated_ranges",
+                                     "halo_dropped", "migration_dropped")
+                   if r.get(k)}
+            if bad:
+                lines.append("WARN " + "  ".join(f"{k}={v}"
+                                                 for k, v in bad.items()))
+            prefix = "" if args.once else "\x1b[2J\x1b[H"
+            print(prefix + "\n".join(lines), flush=True)
+            last_n = len(rows)
+        if args.once:
+            return 0
+        time.sleep(args.interval)
+
+
 def cmd_info(args) -> int:
     cfg, state = make_scene(args.scene, **_apply_overrides(args))
     print(cfg.to_json())
@@ -660,6 +737,15 @@ def main(argv=None) -> int:
     p = sub.add_parser("info", help="print resolved scene config")
     _add_common(p)
     p.set_defaults(fn=cmd_info)
+
+    p = sub.add_parser("watch", help="live terminal dashboard over a run's "
+                                     "diagnostics.jsonl (the reference's "
+                                     "main-window timing/energy panel)")
+    p.add_argument("--out", default="out", help="run output directory")
+    p.add_argument("--interval", type=float, default=1.0)
+    p.add_argument("--once", action="store_true",
+                   help="print one snapshot and exit (no repaint loop)")
+    p.set_defaults(fn=cmd_watch)
 
     p = sub.add_parser("parity", help="compare compat pipeline vs golden dumps")
     p.add_argument("golden", help="directory of tools/golden_gen state dumps")

@@ -135,6 +135,21 @@ def test_run_live_term(tmp_path, capsys):
     assert "▀" in cap and "\x1b[38;5;" in cap
 
 
+def test_watch_snapshot(tmp_path, capsys):
+    """`watch --once` renders the live dashboard (the reference's main-window
+    timing/energy panel, widget.cpp:91-111) from a run's diagnostics.jsonl."""
+    out = str(tmp_path / "outw")
+    main(["run", "--scene", "disk", "-n", "512", "--steps", "4",
+          "--block", "2", "--out", out, "--quiet"])
+    rc = main(["watch", "--out", out, "--once"])
+    assert rc == 0
+    cap = capsys.readouterr().out
+    assert "E_total" in cap and "step_ms" in cap and "nbr mean" in cap
+    assert any(ch in cap for ch in "▁▂▃▄▅▆▇█")
+    # missing directory: clean error, nonzero exit
+    assert main(["watch", "--out", str(tmp_path / "nope"), "--once"]) == 1
+
+
 def test_run_capped_mode(tmp_path):
     """--set capped_candidates drives the subsets mode through the CLI
     (pallas backend, interpret on CPU, lazy driver)."""
