@@ -365,9 +365,14 @@ def cmd_run(args) -> int:
                 # repaints the GL pane on a timer while the sim thread runs);
                 # here the terminal is the display: clear + home + half-block
                 # splat every block boundary
+                import shutil
+
                 from .utils.render import ansi_frame, render_frame
 
-                frame = ansi_frame(render_frame(cfg, state, size=256))
+                tcols, tlines = shutil.get_terminal_size((80, 26))
+                frame = ansi_frame(render_frame(cfg, state, size=256),
+                                   cols=min(tcols, 160),
+                                   rows=max(min(tlines - 2, 60), 4))
                 sys.stdout.write("\x1b[2J\x1b[H" + frame
                                  + f"\nstep {done}/{total}\n")
                 sys.stdout.flush()
