@@ -85,9 +85,9 @@ def main() -> int:
                    "halo_dropped": r.get("halo_dropped")}
             results.append(rec)
             print("  " + json.dumps(rec), flush=True)
-
-    with open(args.out, "w") as f:
-        json.dump({"chips": d, "rows": results}, f, indent=1)
+            # write-as-you-go: a wall-clock cutoff keeps the completed rows
+            with open(args.out, "w") as f:
+                json.dump({"chips": d, "rows": results}, f, indent=1)
     print(f"\nwrote {args.out}\n")
 
     key = "projected_pps_x%d" % d
