@@ -1,10 +1,19 @@
 #!/usr/bin/env python
-"""Driver benchmark: prints ONE JSON line with the headline metric.
+"""Driver benchmark: prints a JSON line with the headline metric.
 
 Headline: particle-steps/sec/chip on the 1M-particle splash scene (BASELINE
-config 3), celllist backend.  ``vs_baseline`` is the ratio against the
-north-star target of 1e9 particle-steps/sec/chip (BASELINE.md), since the
-reference publishes no numbers of its own.
+config 3).  ``vs_baseline`` is the ratio against the north-star target of
+1e9 particle-steps/sec/chip (BASELINE.md), since the reference publishes no
+numbers of its own.
+
+Driver-proofing (VERDICT r3 #1): the driver records the LAST stdout line and
+may kill this process on a wall-clock envelope.  So the headline line is
+printed AND FLUSHED the moment it is measured; every subsequent enrichment
+(parity block, auxiliary rows) re-prints the full line.  Any kill point
+after the headline therefore still leaves a parseable record.  Auxiliary
+rows run in fresh subprocesses whose timeout is capped at the REMAINING
+budget; a failed/timed-out row is recorded in ``failed_rows`` and skipped —
+there is no unbudgeted in-process fallback.
 
 Usage: python bench.py [--scene SCENE] [-n N] [--steps STEPS] [--backend B]
 """
@@ -19,15 +28,24 @@ import time
 TARGET_PPS = 1e9  # BASELINE.md: >= 1e9 particle-steps/sec/chip @ 1M particles
 
 
-def _run_row(row: str, args) -> dict | None:
+def _emit(line: dict) -> None:
+    """Print the current full record and flush — the driver takes the LAST
+    stdout line, so every intermediate emit is a valid fallback artifact."""
+    print(json.dumps(line), flush=True)
+
+
+def _run_row(row: str, args, timeout_s: float) -> dict | None:
     """Run one auxiliary bench row in a FRESH subprocess.
 
     Measured: rows run in-process after the headline read 10-15% slower
     than the same row in a fresh process (device allocator state from the
     earlier rows).  Subprocess isolation keeps every recorded row at its
-    reproducible standalone cost.  Falls back to None on any failure so
-    the headline line still prints.
+    reproducible standalone cost AND bounds its wall-clock (the kill is a
+    real SIGKILL, unlike an in-process row which cannot be interrupted).
+    Returns None on any failure; the caller records the row as failed.
     """
+    if timeout_s <= 30:
+        return None
     cmd = [sys.executable, os.path.abspath(__file__), "--row", row,
            "--scene", args.scene, "-n", str(args.num_particles),
            "--steps", str(args.steps), "--warmup", str(args.warmup),
@@ -35,7 +53,7 @@ def _run_row(row: str, args) -> dict | None:
            "--grid-nz", str(args.grid_nz)]
     try:
         out = subprocess.run(cmd, capture_output=True, text=True,
-                             timeout=2400)
+                             timeout=timeout_s)
         return json.loads(out.stdout.strip().splitlines()[-1])
     except Exception:
         return None
@@ -54,19 +72,13 @@ def _compute_row(row: str, args) -> dict:
         # sheet (at 125k: 2 particle layers, window 504 vs 64) and
         # mis-measures the per-chip constant ~3x pessimistic
         base["grid_nz"] = args.grid_nz
-    if row == "capped_k4":
+    if row in ("capped_k4", "capped_k4_steady"):
+        # "steady": settle past the violent early-splash phase (rebins
+        # ~every step there) so the drift skin amortizes the rebuild the
+        # way production runs see it
+        warm = args.warmup if row == "capped_k4" else max(args.warmup, 20)
         r = run_benchmark(scene=args.scene, backend="pallas", steps=steps,
-                          warmup=args.warmup,
-                          overrides=dict(base, capped_candidates=4,
-                                         pallas_window_t=0),
-                          lazy=True)
-        return {k: r[k] for k in ("value", "ms_per_step", "steps")}
-    if row == "capped_k4_steady":
-        # sustained throughput: settle past the violent early-splash phase
-        # (rebins ~every step there) so the drift skin amortizes the rebuild
-        # the way production runs see it (rebins every ~3 steps)
-        r = run_benchmark(scene=args.scene, backend="pallas", steps=steps,
-                          warmup=max(args.warmup, 20),
+                          warmup=warm,
                           overrides=dict(base, capped_candidates=4,
                                          pallas_window_t=0),
                           lazy=True)
@@ -74,7 +86,8 @@ def _compute_row(row: str, args) -> dict:
     if row == "capped_k4_10m":
         # 10x the headline size on ONE chip: the 1M step carries ~25 ms of
         # per-dispatch/small-op floor that amortizes away at 10M, so this is
-        # the best single-chip point (docs/PERFORMANCE.md r3 close-out #10)
+        # the best single-chip point (docs/PERFORMANCE.md r3 close-out #10).
+        # OPT-IN ONLY (--with-10m): one row can eat the whole driver budget.
         r = run_benchmark(scene=args.scene, backend="pallas", steps=8,
                           warmup=3,
                           overrides=dict(base, num_particles=10_000_000,
@@ -112,6 +125,9 @@ def main() -> int:
                     help="skip the distributed slab-engine 1-device-mesh row")
     ap.add_argument("--no-capped", action="store_true",
                     help="skip the capped-candidates (subsets) row")
+    ap.add_argument("--with-10m", action="store_true",
+                    help="opt-in: run the 10M-particle single-chip row "
+                         "(can take several minutes on its own)")
     ap.add_argument("--row", default=None,
                     help="internal: compute ONE auxiliary row and exit")
     ap.add_argument("--slab-sweeps", default="pallas")
@@ -119,10 +135,10 @@ def main() -> int:
                     help="override the scene's z cell-plane count (slab-proxy "
                          "geometry for strong-scaling rows; 0 = scene default)")
     ap.add_argument("--budget", type=float,
-                    default=float(os.environ.get("BENCH_BUDGET_S", 2100)),
-                    help="wall-clock budget (s); auxiliary rows still "
-                         "pending when it expires are skipped and listed "
-                         "in skipped_rows, so the JSON line always prints")
+                    default=float(os.environ.get("BENCH_BUDGET_S", 900)),
+                    help="wall-clock budget (s); auxiliary rows are given at "
+                         "most the remaining budget and rows still pending "
+                         "when it expires are recorded in skipped_rows")
     args = ap.parse_args()
     t_start = time.monotonic()
 
@@ -170,10 +186,20 @@ def main() -> int:
         "num_particles": result["num_particles"],
         "device": result["device"],
     }
-    if not args.no_parity:
+    _emit(line)  # the record exists from this point on, whatever happens next
+
+    def remaining() -> float:
+        return args.budget - (time.monotonic() - t_start)
+
+    if not args.no_parity and remaining() > 60:
         # recorded proof that the compiled Mosaic kernels agree with the XLA
         # cell-list oracle on THIS device (not just interpreter mode)
-        line["parity"] = run_parity_check()
+        try:
+            line["parity"] = run_parity_check()
+        except Exception as e:  # never lose the headline to a parity crash
+            line["parity"] = {"error": repr(e)}
+        _emit(line)
+
     on_tpu = jax.devices()[0].platform.lower() != "cpu"
     args.slab_sweeps = "pallas" if backend == "pallas" else "celllist"
     # ordered by value to the record: the budget guard skips from the TAIL
@@ -182,32 +208,33 @@ def main() -> int:
     if capped_ok:
         # the reference's "Subsets" strategy as a first-class speed dial:
         # K_c=4 per cell, mass-reweighted (density mean-unbiased, measured
-        # rel-L2 noise ~0.36 vs the exact sweep — docs/PERFORMANCE.md r3;
-        # K_c=8 measured ~neutral at 1M, so the recorded dial is the one
-        # that actually buys throughput)
+        # rel-L2 noise ~0.36 vs the exact sweep — docs/PERFORMANCE.md r3)
         rows.append("capped_k4")
     if not args.no_slab and on_tpu:
         if capped_ok:
-            # best measured per-chip point (docs/ROUND3.md): the distributed
-            # engine running the capped K_c=4 sweeps — the number the
-            # multi-chip scale-out projection multiplies
+            # best measured per-chip point: the distributed engine running
+            # the capped K_c=4 sweeps — the number the multi-chip scale-out
+            # projection multiplies
             rows.append("slab_capped_k4")
         # per-chip constant of the DISTRIBUTED path (1-device mesh, real
         # chip): grounds the multi-chip scale-out claim with a measured datum
         rows.append("slab_1dev")
     if capped_ok:
         rows.append("capped_k4_steady")
-        if args.num_particles >= 1_000_000:
+        if args.with_10m and args.num_particles >= 1_000_000:
             rows.append("capped_k4_10m")
     for row in rows:
-        if time.monotonic() - t_start > args.budget:
+        left = remaining()
+        if left < 60:
             line.setdefault("skipped_rows", []).append(row)
+            _emit(line)
             continue
-        out = _run_row(row, args)
-        if out is None:                       # subprocess failed: in-process
-            out = _compute_row(row, args)
-        line[row] = out
-    print(json.dumps(line))
+        out = _run_row(row, args, timeout_s=left)
+        if out is None:
+            line.setdefault("failed_rows", []).append(row)
+        else:
+            line[row] = out
+        _emit(line)
     return 0
 
 

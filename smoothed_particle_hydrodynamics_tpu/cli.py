@@ -531,15 +531,28 @@ _SPARK = "▁▂▃▄▅▆▇█"
 
 
 def _sparkline(vals, width: int = 48) -> str:
-    """Last ``width`` values as a unicode sparkline (constant series -> ▁)."""
+    """Last ``width`` values as a unicode sparkline (constant series -> ▁).
+
+    Non-finite values render as the top glyph instead of crashing: a run
+    that blows up writes NaN rows to diagnostics.jsonl before the abort
+    path fires, and ``watch`` must keep working exactly then.
+    """
+    import math
+
     vals = list(vals)[-width:]
     if not vals:
         return ""
-    lo, hi = min(vals), max(vals)
+    finite = [v for v in vals if math.isfinite(v)]
+    if not finite:
+        return _SPARK[-1] * len(vals)
+    lo, hi = min(finite), max(finite)
     span = hi - lo
-    if span <= 0 or not (span == span):  # constant or NaN
-        return _SPARK[0] * len(vals)
-    return "".join(_SPARK[min(int((v - lo) / span * 8), 7)] for v in vals)
+    if span <= 0:
+        return "".join(_SPARK[-1] if not math.isfinite(v) else _SPARK[0]
+                       for v in vals)
+    return "".join(_SPARK[-1] if not math.isfinite(v)
+                   else _SPARK[min(int((v - lo) / span * 8), 7)]
+                   for v in vals)
 
 
 def cmd_watch(args) -> int:
@@ -552,29 +565,42 @@ def cmd_watch(args) -> int:
     finished) sim and it repaints sparklines of energy drift, |L|, step
     time and neighbor stats every --interval seconds.
     """
+    import math
+
     path = os.path.join(args.out, "diagnostics.jsonl")
     last_n = 0
-    while True:
-        rows = []
+    rows: list = []
+    offset = 0
+    try:
+      while True:
+        # incremental tail-read: only parse bytes appended since last tick
+        # (a full re-parse is O(file) per tick — quadratic over a long run)
         try:
             with open(path) as fh:
-                for ln in fh:
-                    ln = ln.strip()
-                    if ln:
-                        try:
-                            rows.append(json.loads(ln))
-                        except json.JSONDecodeError:
-                            pass  # mid-write tail row
+                fh.seek(offset)
+                chunk = fh.read()
         except FileNotFoundError:
             if args.once:
                 print(f"no diagnostics at {path}", file=sys.stderr)
                 return 1
             time.sleep(args.interval)
             continue
+        # consume only complete lines; a mid-write tail line stays unread
+        # until its newline lands
+        complete, sep, _tail = chunk.rpartition("\n")
+        offset += len((complete + sep).encode())
+        for ln in complete.splitlines():
+            ln = ln.strip()
+            if ln:
+                try:
+                    rows.append(json.loads(ln))
+                except json.JSONDecodeError:
+                    pass  # torn row
         if rows:
             r = rows[-1]
             e0 = rows[0]["total_energy"]
-            drift = [(x["total_energy"] - e0) / abs(e0) if e0 else 0.0
+            drift = [(x["total_energy"] - e0) / abs(e0)
+                     if (e0 and math.isfinite(e0)) else 0.0
                      for x in rows]
             lines = [
                 f"watch {args.out}  step {r['step']}  "
@@ -602,6 +628,9 @@ def cmd_watch(args) -> int:
         if args.once:
             return 0
         time.sleep(args.interval)
+    except KeyboardInterrupt:
+        print()  # clean exit, no traceback from the sleep
+        return 0
 
 
 def cmd_info(args) -> int:

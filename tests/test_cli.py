@@ -64,6 +64,9 @@ def test_render_cmd(tmp_path):
     rc = main(["render", f"{out}/final_state.npz", "-o", vox, "--voxels",
                "--scene", "disk", "-n", "512"])
     assert rc == 0 and os.path.getsize(vox) > 100
+    # RGB voxel overlay must actually be bigger than the greyscale render —
+    # a regression that silently ignores --voxels would fail this
+    assert os.path.getsize(vox) > os.path.getsize(png)
 
 
 def test_unknown_field_rejected():
