@@ -46,7 +46,7 @@ def _resolve_backend(args) -> None:
         args.backend = "compat"
         return
     if (getattr(args, "devices", 0) and args.devices > 1
-            and getattr(args, "partition", "halo") != "slab"):
+            and getattr(args, "partition", "slab") != "slab"):
         args.backend = "celllist"  # the halo-sharded step runs cell-list sweeps
         return
     import jax
@@ -171,11 +171,22 @@ def cmd_run(args) -> int:
                                            zsplit=slab_ctx["zsplit"],
                                            sweeps=slab_sweeps,
                                            sub_len=slab_sub)
+                k = max(args.scan_block, 1)
+                slab_scan = (make_slab_step(
+                    run_cfg, mesh, *slab_ctx["caps"],
+                    zsplit=slab_ctx["zsplit"], sweeps=slab_sweeps,
+                    sub_len=slab_sub, scan_block=k) if k > 1 else None)
 
                 def run(s, num_steps):
                     carry = slab_ctx["carry"]
                     diags = []
-                    for _ in range(num_steps):
+                    remaining = num_steps
+                    while slab_scan is not None and remaining >= k:
+                        carry, dk = slab_scan(carry)   # K steps, [K] diags
+                        remaining -= k
+                        diags.extend(jax.tree.map(lambda x, i=i: x[i], dk)
+                                     for i in range(k))
+                    for _ in range(remaining):
                         carry, d = slab_step(carry)
                         diags.append(d)
                     slab_ctx["carry"] = carry
@@ -312,6 +323,7 @@ def cmd_run(args) -> int:
                                                    "phase_ms": phase_ms})
         done = start_step
         t_start = time.perf_counter()
+        apply_path = os.path.join(args.out, "apply.json")
         while done < total:
             due = sorted(k for k in pending_applies if k <= done)
             if due:
@@ -323,6 +335,33 @@ def cmd_run(args) -> int:
                 run = make_run(cfg)  # recompile at the block boundary
                 print(f"applied at step {done}: "
                       + ", ".join(f"{k}={v}" for k, v in merged.items()))
+            if os.path.exists(apply_path):
+                # live apply channel — the reference's Apply button writes
+                # into the RUNNING sim (/root/reference/src/sphconfig.cpp:
+                # 76-95); here the terminal is the UI: drop a JSON object of
+                # config fields at <out>/apply.json while the sim runs and it
+                # is consumed ONCE at the next block boundary (the unit of
+                # host control under jit), then renamed .applied/.rejected.
+                try:
+                    with open(apply_path) as fh:
+                        payload = json.load(fh)
+                    if not isinstance(payload, dict):
+                        raise ValueError("apply.json must hold a JSON object")
+                    unknown = [k for k in payload
+                               if k not in SphConfig.__dataclass_fields__]
+                    if unknown:
+                        raise ValueError(f"unknown config fields: {unknown}")
+                    new_cfg = cfg.replace(**payload)
+                    new_cfg.validate()
+                    cfg = new_cfg
+                    run = make_run(cfg)
+                    os.replace(apply_path, apply_path + ".applied")
+                    print(f"applied at step {done} (apply.json): "
+                          + ", ".join(f"{k}={v}" for k, v in payload.items()))
+                except Exception as e:
+                    os.replace(apply_path, apply_path + ".rejected")
+                    print(f"apply.json rejected at step {done}: {e}",
+                          file=sys.stderr)
             while paused["flag"] and not interrupted["flag"]:
                 time.sleep(0.2)   # paused in place; state stays on device
             nblock = min(args.block, total - done)
@@ -518,8 +557,16 @@ def cmd_render(args) -> int:
 
     cfg, _ = make_scene(args.scene, **_apply_overrides(args))
     state = load_state(args.state)
-    if args.perspective:
-        img = render_frame_perspective(cfg, state)
+    if args.perspective or args.camera:
+        cam = {}
+        if args.camera:
+            try:
+                az, el, dist = (float(v) for v in args.camera.split(","))
+            except ValueError:
+                raise SystemExit("--camera expects AZ,EL,DIST "
+                                 "(e.g. --camera 135,0.6,1.8)")
+            cam = dict(azimuth=az, elevation=el, distance=dist)
+        img = render_frame_perspective(cfg, state, box=not args.no_box, **cam)
     else:
         img = render_frame(cfg, state, voxels=args.voxels)
     save_png(img, args.output)
@@ -708,11 +755,14 @@ def main(argv=None) -> int:
                    help="slab partition: re-derive the z-split at block "
                         "boundaries when per-device load imbalance (max/mean "
                         "count) exceeds this ratio; 0 disables")
-    p.add_argument("--partition", default="halo", choices=["halo", "slab"],
-                   help="multi-device decomposition: 'halo' = sharded rows + "
-                        "ppermute edge exchange (replicated binning); 'slab' = "
-                        "fully distributed engine with local sort + migration "
-                        "at O(N/D) memory (parallel/slabs.py)")
+    p.add_argument("--partition", default="slab", choices=["slab", "halo"],
+                   help="multi-device decomposition: 'slab' (default, the "
+                        "production path) = fully distributed engine with "
+                        "local sort + migration at O(N/D) memory "
+                        "(parallel/slabs.py); 'halo' = the row-sharded "
+                        "verification oracle whose binning runs REPLICATED "
+                        "on every device — it cannot weak-scale and exists "
+                        "for cross-checking the slab engine")
     p.add_argument("--profile-phases", action="store_true",
                    help="measure per-phase times once (reference timing.txt columns)")
     p.add_argument("--exact-ic", action="store_true",
@@ -727,9 +777,10 @@ def main(argv=None) -> int:
                    help="lazy rebinning driver (default: auto — on for the "
                         "sublane pallas backend)")
     p.add_argument("--scan-block", type=int, default=0,
-                   help="lazy driver: steps per dispatch via lax.scan "
-                        "(dispatch amortization for small scenes; 0 = host "
-                        "loop, the 1M-measured default)")
+                   help="steps per dispatch via lax.scan (lazy driver AND "
+                        "slab engine) — dispatch amortization for small "
+                        "scenes / small per-chip loads; 0 = host loop, the "
+                        "1M-measured default")
     p.add_argument("--quiet", action="store_true")
     p.set_defaults(fn=cmd_run)
 
@@ -762,6 +813,15 @@ def main(argv=None) -> int:
     p.add_argument("--perspective", action="store_true",
                    help="3-D perspective camera (reference GL frustum+lookAt "
                         "analog) instead of the orthographic projection")
+    p.add_argument("--camera", default="", metavar="AZ,EL,DIST",
+                   help="perspective view controls: azimuth degrees around "
+                        "+y (180 = default -z view), elevation (fraction of "
+                        "the box span), eye distance (box spans) — the "
+                        "reference's resizeGL/lookAt knobs "
+                        "(visualization.cpp:341-362); implies --perspective")
+    p.add_argument("--no-box", action="store_true",
+                   help="perspective view: skip the wireframe box outline "
+                        "(the reference's drawBox, visualization.cpp:64-134)")
     p.add_argument("--voxels", action="store_true",
                    help="overlay occupied grid cells in red, intensity "
                         "proportional to occupancy (the reference's "

@@ -1114,7 +1114,7 @@ def make_slab_step(cfg: SphConfig, mesh: Mesh, p_cap: int, h_cap: int,
                    m_cap: int, chunk: int = 1024, donate: bool = True,
                    sweeps: str = "celllist",
                    zsplit: tuple[int, ...] | None = None, lazy: bool = True,
-                   sub_len: int | None = None
+                   sub_len: int | None = None, scan_block: int = 0
                    ) -> Callable[[SlabCarry | LazySlabCarry],
                                  tuple[LazySlabCarry, StepDiagnostics]]:
     """Fully-distributed step over ``mesh`` (see module docstring).
@@ -1129,6 +1129,14 @@ def make_slab_step(cfg: SphConfig, mesh: Mesh, p_cap: int, h_cap: int,
     of the single-chip lazy driver, amortizing the per-step rebuild the
     reference pays on every step (/root/reference/src/sph.cpp:438-481).
     ``lazy=False`` rebins (and migrates) every step.
+
+    ``scan_block=K`` (K > 1) runs K physics steps per dispatch via
+    ``lax.scan``: the returned callable advances K steps per call and its
+    ``StepDiagnostics`` leaves carry a leading [K] axis.  This is the slab
+    port of the lazy driver's dispatch-amortization dial — at small per-chip
+    loads (strong scaling, ~125k/chip) the ~2.4 ms tunnel dispatch plus the
+    per-call output/diag fetch floor is a large share of the step, while at
+    1M/chip it hides under the device step (docs/PERFORMANCE.md r3 #12).
 
     Accepts a plain ``SlabCarry`` (auto-initialized) or a ``LazySlabCarry``
     from a previous call; returns a ``LazySlabCarry``.
@@ -1177,26 +1185,42 @@ def make_slab_step(cfg: SphConfig, mesh: Mesh, p_cap: int, h_cap: int,
         check_vma=False,
     )
 
+    def _diag(dv) -> StepDiagnostics:
+        """[..., 9] psum'd diagnostic vector -> StepDiagnostics pytree."""
+        zeros = jnp.zeros(dv.shape[:-1], jnp.int32)
+        return StepDiagnostics(
+            kinetic_energy=dv[..., 0], potential_energy=dv[..., 1],
+            angular_momentum=dv[..., 2], neighbor_mean=dv[..., 3],
+            neighbor_max=dv[..., 4].astype(jnp.int32),
+            neighbor_min=dv[..., 5].astype(jnp.int32),
+            overflow_cells=zeros,
+            truncated_ranges=dv[..., 6].astype(jnp.int32),
+            halo_dropped=dv[..., 7].astype(jnp.int32),
+            migration_dropped=dv[..., 8].astype(jnp.int32),
+        )
+
     def _step(carry: LazySlabCarry) -> tuple[LazySlabCarry, StepDiagnostics]:
         (fields, count, pos_bin, cid, tabs, steps_since, rebins,
          diag_rows) = sharded(carry.fields, carry.count, carry.pos_bin,
                               carry.cid, carry.tabs,
                               carry.steps_since, carry.rebin_count)
-        dv = diag_rows[0]
-        diag = StepDiagnostics(
-            kinetic_energy=dv[0], potential_energy=dv[1],
-            angular_momentum=dv[2], neighbor_mean=dv[3],
-            neighbor_max=dv[4].astype(jnp.int32),
-            neighbor_min=dv[5].astype(jnp.int32),
-            overflow_cells=jnp.zeros((), jnp.int32),
-            truncated_ranges=dv[6].astype(jnp.int32),
-            halo_dropped=dv[7].astype(jnp.int32),
-            migration_dropped=dv[8].astype(jnp.int32),
-        )
         return LazySlabCarry(fields, count, pos_bin, cid, tabs,
-                             steps_since, rebins), diag
+                             steps_since, rebins), _diag(diag_rows[0])
 
-    jitted = jax.jit(_step, donate_argnums=(0,) if donate else ())
+    def _step_scan(carry: LazySlabCarry
+                   ) -> tuple[LazySlabCarry, StepDiagnostics]:
+        def body(c: LazySlabCarry, _):
+            (fields, count, pos_bin, cid, tabs, steps_since, rebins,
+             diag_rows) = sharded(c.fields, c.count, c.pos_bin, c.cid,
+                                  c.tabs, c.steps_since, c.rebin_count)
+            return (LazySlabCarry(fields, count, pos_bin, cid, tabs,
+                                  steps_since, rebins), diag_rows[0])
+
+        carry, dvs = jax.lax.scan(body, carry, None, length=scan_block)
+        return carry, _diag(dvs)   # [K, 9] -> leaves with leading [K]
+
+    jitted = jax.jit(_step_scan if scan_block > 1 else _step,
+                     donate_argnums=(0,) if donate else ())
 
     def step(carry):
         if not isinstance(carry, LazySlabCarry):

@@ -93,7 +93,8 @@ def run_benchmark(scene: str = "disk", backend: str = "celllist",
 
 def run_slab_benchmark(n: int = 1_000_000, steps: int = 15, warmup: int = 3,
                        sweeps: str = "pallas", headroom: float = 1.05,
-                       overrides: dict | None = None) -> dict:
+                       overrides: dict | None = None,
+                       scan_block: int = 0) -> dict:
     """Distributed slab engine on a 1-device mesh of the CURRENT chip.
 
     Measures the per-chip step-time constant of the production distributed
@@ -101,6 +102,9 @@ def run_slab_benchmark(n: int = 1_000_000, steps: int = 15, warmup: int = 3,
     chain ends) so the multi-chip scale-out claim has a measured per-chip
     datum: D-chip throughput ~= D * (1e3 / ms_per_step) * n (minus halo
     growth, which the 8-CPU dryrun exercises functionally).
+
+    ``scan_block=K`` dispatches K steps per jit call (``lax.scan``) — the
+    dispatch-amortization dial for small per-chip loads (strong scaling).
     """
     import numpy as np
     from jax.sharding import Mesh
@@ -126,31 +130,35 @@ def run_slab_benchmark(n: int = 1_000_000, steps: int = 15, warmup: int = 3,
     carry = slabs.distribute(cfg, state, mesh, p_cap, zsplit=zsplit)
     step = slabs.make_slab_step(cfg, mesh, p_cap, h_cap, m_cap,
                                 sweeps=sweeps, zsplit=zsplit, donate=True,
-                                sub_len=sub_len)
+                                sub_len=sub_len, scan_block=scan_block)
+    k = max(scan_block, 1)
 
     t0 = time.perf_counter()
-    for _ in range(max(warmup, 1)):
+    for _ in range(max(-(-warmup // k), 1)):
         carry, diag = step(carry)
     _sync(carry.fields)
     compile_s = time.perf_counter() - t0
 
+    calls = max(steps // k, 1)
     t0 = time.perf_counter()
-    for _ in range(steps):
+    for _ in range(calls):
         carry, diag = step(carry)
     _sync(carry.fields)
     elapsed = time.perf_counter() - t0
+    steps_run = calls * k
     return {
         "metric": "slab-engine particle-steps/sec/chip (1-device mesh)",
-        "value": n * steps / elapsed,
-        "ms_per_step": elapsed * 1000.0 / steps,
+        "value": n * steps_run / elapsed,
+        "ms_per_step": elapsed * 1000.0 / steps_run,
         "num_particles": n,
-        "steps": steps,
+        "steps": steps_run,
         "sweeps": sweeps,
+        "scan_block": scan_block,
         "p_cap": p_cap, "h_cap": h_cap, "m_cap": m_cap,
         "window_t": cfg.pallas_window_t,
         "rebins": int(np.asarray(carry.rebin_count)[0]),
-        "migration_dropped": int(diag.migration_dropped),
-        "halo_dropped": int(diag.halo_dropped),
+        "migration_dropped": int(np.ravel(diag.migration_dropped)[-1]),
+        "halo_dropped": int(np.ravel(diag.halo_dropped)[-1]),
         "warmup_s": compile_s,
         "device": str(jax.devices()[0]),
     }

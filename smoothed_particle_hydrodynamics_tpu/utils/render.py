@@ -78,20 +78,50 @@ def _splat_perspective(pos: jnp.ndarray, eye: jnp.ndarray, target: jnp.ndarray,
     return img.reshape(size, size)
 
 
+def _box_edge_points(cfg: SphConfig, samples: int = 192) -> np.ndarray:
+    """[12*samples, 3] points along the simulation box's 12 edges."""
+    bx, by, bz = (float(v) for v in cfg.box_max)
+    corners = np.asarray([[x, y, z] for x in (0.0, bx) for y in (0.0, by)
+                          for z in (0.0, bz)], np.float32)
+    edges = [(a, b) for a in range(8) for b in range(a + 1, 8)
+             if sum(corners[a] != corners[b]) == 1]
+    t = np.linspace(0.0, 1.0, samples, dtype=np.float32)[:, None]
+    return np.concatenate([corners[a] * (1 - t) + corners[b] * t
+                           for a, b in edges], axis=0)
+
+
 def render_frame_perspective(cfg: SphConfig, state: ParticleState,
                              size: int = 512, gain: float = 40.0,
                              elevation: float = 0.45,
-                             distance: float = 1.6) -> np.ndarray:
-    """3-D perspective view: camera orbit-style above the box, looking at its
+                             distance: float = 1.6,
+                             azimuth: float = 180.0,
+                             box: bool = True) -> np.ndarray:
+    """3-D perspective view: camera orbit-style around the box, looking at its
     center — the TPU analog of the reference's GL frustum + lookAt camera
-    normalized by box size (visualization.cpp:327-362)."""
-    box = jnp.asarray(cfg.box_max, jnp.float32)
-    center = box * 0.5
-    span = float(jnp.max(box))
+    normalized by box size (visualization.cpp:327-362).
+
+    ``azimuth`` (degrees, orbit around the +y axis; 180 = the legacy -z view),
+    ``elevation`` (camera height as a fraction of the box span) and
+    ``distance`` (eye distance in box spans) are the view controls; ``box``
+    overlays the wireframe box outline the reference always draws
+    (visualization.cpp:64-134, alpha 0.2)."""
+    box_max = jnp.asarray(cfg.box_max, jnp.float32)
+    center = box_max * 0.5
+    span = float(jnp.max(box_max))
+    az = float(np.deg2rad(azimuth))
     eye = center + jnp.asarray(
-        [0.0, elevation * span, -distance * span], jnp.float32)
-    return np.asarray(_splat_perspective(
+        [distance * span * np.sin(az), elevation * span,
+         distance * span * np.cos(az)], jnp.float32)
+    img = np.asarray(_splat_perspective(
         state.position, eye, center, size=size, gain=gain))
+    if not box:
+        return img
+    # wireframe overlay: splat dense samples of the 12 edges through the SAME
+    # camera; alpha-0.2-grey analog = a dim fixed shade, particles on top
+    edge = np.asarray(_splat_perspective(
+        jnp.asarray(_box_edge_points(cfg)), eye, center, size=size,
+        gain=255.0))
+    return np.maximum(img, np.minimum(edge, np.uint8(64)))
 
 
 def render_frame(cfg: SphConfig, state: ParticleState, size: int = 512,

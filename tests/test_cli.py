@@ -89,6 +89,65 @@ def test_run_mid_run_apply(tmp_path, capsys):
     assert rows[-1].startswith("5, ")
 
 
+def test_run_live_apply_channel(tmp_path, capsys):
+    """Dropping <out>/apply.json while the sim runs edits the RUNNING config
+    at the next block boundary — the reference's Apply button without
+    pre-scheduling (src/sphconfig.cpp:76-95).  The file is consumed once;
+    a bad payload is rejected without killing the run."""
+    out = str(tmp_path / "outlive")
+    os.makedirs(out, exist_ok=True)
+    # pre-placed file: consumed at the FIRST block boundary (step 0)
+    with open(f"{out}/apply.json", "w") as fh:
+        json.dump({"viscosity": 0.25}, fh)
+    rc = main(["run", "--scene", "disk", "-n", "512", "--steps", "4",
+               "--block", "2", "--out", out, "--quiet"])
+    assert rc == 0
+    text = capsys.readouterr().out
+    assert "applied at step 0 (apply.json): viscosity=0.25" in text
+    assert os.path.exists(f"{out}/apply.json.applied")
+    assert not os.path.exists(f"{out}/apply.json")
+
+    # rejected payloads: renamed .rejected, run completes
+    out2 = str(tmp_path / "outlive2")
+    os.makedirs(out2, exist_ok=True)
+    with open(f"{out2}/apply.json", "w") as fh:
+        json.dump({"bogus_field": 1}, fh)
+    rc = main(["run", "--scene", "disk", "-n", "512", "--steps", "2",
+               "--block", "2", "--out", out2, "--quiet"])
+    assert rc == 0
+    assert os.path.exists(f"{out2}/apply.json.rejected")
+
+
+def test_render_camera_and_box(tmp_path):
+    """--camera AZ,EL,DIST + the wireframe box overlay (the reference's
+    drawBox + view controls, visualization.cpp:64-134,341-362)."""
+    import numpy as np
+
+    out = str(tmp_path / "ocam")
+    main(["run", "--scene", "disk", "-n", "512", "--steps", "2",
+          "--block", "2", "--out", out, "--quiet"])
+    a = str(tmp_path / "a.png")
+    b = str(tmp_path / "b.png")
+    nb = str(tmp_path / "nb.png")
+    assert main(["render", f"{out}/final_state.npz", "-o", a,
+                 "--scene", "disk", "-n", "512",
+                 "--camera", "180,0.45,1.6"]) == 0
+    assert main(["render", f"{out}/final_state.npz", "-o", b,
+                 "--scene", "disk", "-n", "512",
+                 "--camera", "90,0.1,2.5"]) == 0
+    assert main(["render", f"{out}/final_state.npz", "-o", nb,
+                 "--scene", "disk", "-n", "512", "--perspective",
+                 "--no-box"]) == 0
+    import PIL.Image as Image
+
+    ia = np.asarray(Image.open(a))
+    ib = np.asarray(Image.open(b))
+    inb = np.asarray(Image.open(nb))
+    assert (ia != ib).any(), "camera controls had no effect on the view"
+    # the wireframe overlay adds dim edge pixels the boxless render lacks
+    assert (ia > 0).sum() > (inb > 0).sum(), "box wireframe missing"
+
+
 def test_run_multidevice_slab(tmp_path):
     out = str(tmp_path / "outslab")
     rc = main(["run", "--scene", "dam_break", "-n", "2048", "--steps", "2",

@@ -459,6 +459,38 @@ def test_slab_fused_kdk_matches_single_device():
     np.testing.assert_allclose(float(diag.angular_momentum),
                                float(ref_diag.angular_momentum), rtol=1e-4)
 
+def test_slab_scan_block_matches_per_step_dispatch():
+    """scan_block=K (K steps per dispatch via lax.scan) must reproduce the
+    per-step dispatch trajectory AND per-step diagnostics exactly — it is a
+    dispatch-amortization dial, not a different engine."""
+    steps, k = 6, 3
+    cfg, state = _scene(cell_size_factor=1.25)
+    mesh = make_mesh(8)
+    p_cap, h_cap, m_cap = slabs.derive_slab_caps(cfg, state, 8)
+
+    carry = slabs.distribute(cfg, state, mesh, p_cap)
+    f1 = slabs.make_slab_step(cfg, mesh, p_cap, h_cap, m_cap, donate=False)
+    diags1 = []
+    for _ in range(steps):
+        carry, d = f1(carry)
+        diags1.append(float(d.kinetic_energy))
+    ref = slabs.collect(carry, cfg.num_particles)
+
+    carry = slabs.distribute(cfg, state, mesh, p_cap)
+    fk = slabs.make_slab_step(cfg, mesh, p_cap, h_cap, m_cap, donate=False,
+                              scan_block=k)
+    diagsk = []
+    for _ in range(steps // k):
+        carry, dk = fk(carry)
+        assert dk.kinetic_energy.shape == (k,), dk.kinetic_energy.shape
+        diagsk.extend(np.asarray(dk.kinetic_energy).tolist())
+    got = slabs.collect(carry, cfg.num_particles)
+
+    np.testing.assert_allclose(np.asarray(got.position),
+                               np.asarray(ref.position), rtol=0, atol=0)
+    np.testing.assert_allclose(diagsk, diags1, rtol=1e-6)
+
+
 def test_plane_local_window_tables_cover_candidates_mid_slab():
     """Plane-LOCAL window tables (base > 0, a middle device) must cover every
     true candidate row: halo rows deeper than the halo plane (below the local
