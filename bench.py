@@ -50,7 +50,8 @@ def _run_row(row: str, args, timeout_s: float) -> dict | None:
            "--scene", args.scene, "-n", str(args.num_particles),
            "--steps", str(args.steps), "--warmup", str(args.warmup),
            "--slab-sweeps", args.slab_sweeps,
-           "--grid-nz", str(args.grid_nz)]
+           "--grid-nz", str(args.grid_nz),
+           "--scan-block", str(args.scan_block)]
     try:
         out = subprocess.run(cmd, capture_output=True, text=True,
                              timeout=timeout_s)
@@ -97,17 +98,19 @@ def _compute_row(row: str, args) -> dict:
         return {k: r[k] for k in ("value", "ms_per_step", "steps",
                                   "num_particles")}
     slab_keys = ("value", "ms_per_step", "p_cap", "window_t", "rebins",
-                 "migration_dropped", "halo_dropped", "steps")
+                 "migration_dropped", "halo_dropped", "steps", "scan_block")
     slab_ov = {"grid_nz": args.grid_nz} if args.grid_nz else {}
     if row == "slab_1dev":
         r = run_slab_benchmark(n=args.num_particles, steps=steps,
-                               sweeps=args.slab_sweeps, overrides=slab_ov)
+                               sweeps=args.slab_sweeps, overrides=slab_ov,
+                               scan_block=args.scan_block)
         return {k: r[k] for k in slab_keys}
     if row == "slab_capped_k4":
         r = run_slab_benchmark(n=args.num_particles, steps=steps,
                                sweeps="pallas",
                                overrides=dict(slab_ov, capped_candidates=4,
-                                              pallas_window_t=0))
+                                              pallas_window_t=0),
+                               scan_block=args.scan_block)
         return {k: r[k] for k in slab_keys}
     raise SystemExit(f"unknown row {row!r}")
 
@@ -134,6 +137,9 @@ def main() -> int:
     ap.add_argument("--grid-nz", type=int, default=0,
                     help="override the scene's z cell-plane count (slab-proxy "
                          "geometry for strong-scaling rows; 0 = scene default)")
+    ap.add_argument("--scan-block", type=int, default=0,
+                    help="slab rows: K steps per dispatch via lax.scan "
+                         "(dispatch amortization at small per-chip loads)")
     ap.add_argument("--budget", type=float,
                     default=float(os.environ.get("BENCH_BUDGET_S", 900)),
                     help="wall-clock budget (s); auxiliary rows are given at "

@@ -21,9 +21,11 @@ Static-shape contract (everything jit/SPMD-safe):
 * halo: each device sends its ``h_cap`` tail/head sorted rows (a superset of
   its edge cell-plane) to each neighbor; senders re-pad rows outside the
   edge plane so receivers see a sorted, maskable segment.
-* migration: after the drift, leavers are compacted by a pair sort and the
-  first ``m_cap`` per direction are exchanged; arrivals append at the local
-  tail.  Capacity misses are COUNTED (``migration_dropped``), never silent.
+* migration: at rebins, leavers are compacted by a pair sort and routed one
+  device per hop toward their destination slab (a uniform while_loop repeats
+  hops until every mover lands — multi-slab coasting between rebins is legal
+  under the spread trigger); ``m_cap`` rows per direction per hop.  Capacity
+  misses are COUNTED (``migration_dropped``), never silent.
 
 Capacity sizing belongs to the caller (``derive_slab_caps``): p_cap from the
 max slab population + drift headroom, h_cap from the densest plane pair,
@@ -128,7 +130,9 @@ def derive_slab_caps(cfg: SphConfig, state: ParticleState, ndev: int,
                        for d in range(ndev)])
     p_cap = int(max(slab.max(), 1) * headroom) + 64
     h_cap = int(max(plane.max(), 1) * headroom) + 64
-    m_cap = max(h_cap // 2, 64)
+    # one full plane of migration capacity per direction per hop: under the
+    # spread trigger a coasting cloud can cross whole planes between rebins
+    m_cap = max(h_cap, 64)
     # 128-multiples so the pallas sweep variant's lane blocks tile exactly
     rnd = lambda v: -(-v // 128) * 128
     return rnd(p_cap), rnd(h_cap), rnd(m_cap)
@@ -389,13 +393,31 @@ def _capped_sub_frame(cfg: SphConfig, ext, cid_ext, sub_len: int,
     # the sub frame past its derived bound
     queryable = (cid_ext >= slab_lo - nxny) & (cid_ext < slab_hi + nxny)
     valid = (oid >= 0) & queryable
-    big = jnp.int32(cfg.num_cells)
-    key = jnp.where(valid, jnp.clip(cid_ext, 0, cfg.num_cells - 1), big)
     pos = jnp.arange(e, dtype=jnp.int32)
-    key_s, _, pos_s = jax.lax.sort((key, pt._hash32(oid), pos), num_keys=2)
+    hb = pt._hash_bits(cfg)
+    if hb >= 8:
+        # packed (cid | hash_top) key, ties broken by oid: the IDENTICAL
+        # ranking as the single-chip prepare_t, so both engines keep the
+        # same set (see pt._hash_bits); invalid rows get the i32-max
+        # sentinel (a num_cells << hb sentinel can overflow the sign bit)
+        sent = jnp.int32(0x7FFFFFFF)
+        key = jnp.where(
+            valid,
+            (jnp.clip(cid_ext, 0, cfg.num_cells - 1) << hb)
+            | (pt._hash32(oid) >> (31 - hb)), sent)
+        key_s, _, pos_s = jax.lax.sort((key, oid, pos), num_keys=2)
+        invalid_s = key_s == sent
+        key_s = key_s >> hb          # cid runs (sentinels group at the end)
+        big = sent >> hb
+    else:
+        big = jnp.int32(cfg.num_cells)
+        key = jnp.where(valid, jnp.clip(cid_ext, 0, cfg.num_cells - 1), big)
+        key_s, _, pos_s = jax.lax.sort((key, pt._hash32(oid), pos),
+                                       num_keys=2)
+        invalid_s = key_s == big
     rank, occ = pt._run_rank_occ(key_s)
     k_c = cfg.capped_candidates
-    keep_s = (rank < k_c) & (key_s < big)
+    keep_s = (rank < k_c) & ~invalid_s
     if cfg.capped_reweight:
         w_s = occ.astype(jnp.float32) / jnp.minimum(occ, k_c).astype(jnp.float32)
     else:
@@ -610,11 +632,12 @@ class LazySlabCarry(NamedTuple):
 
     Between rebins the row ORDER of ``fields`` is frozen (sorted by bin-time
     cell id); only the values evolve.  ``pos_bin``/``cid``/``tabs`` are the
-    frozen structure, rebuilt when the global max drift exceeds the
-    (cell - h)/2 skin — the same invariant as the single-chip lazy driver
-    (``ops.lazy`` module docstring).  Migration runs only at rebins: the skin
-    bound means a boundary-crosser is < one cell-plane deep into its new slab
-    when the rebin fires, so the one-hop exchange still suffices.
+    frozen structure, rebuilt when the global per-axis displacement SPREAD
+    exceeds cell - h — the same relative-drift invariant as the single-chip
+    lazy driver (``ops.lazy`` module docstring; common-mode translation
+    never expires bins).  Migration runs only at rebins and routes movers
+    hop-by-hop until they land (multi-slab coasting between rebins is legal
+    under the spread trigger).
 
     ``tabs`` is engine-specific: (rng_s, rng_e) for celllist sweeps,
     (ws, wc) for the exact pallas sweeps, and (ws, wc, sub_src, cand_cid_f,
@@ -752,27 +775,47 @@ def slab_step_body(cfg: SphConfig, ndev: int, p_cap: int, h_cap: int,
     inert_m = jnp.broadcast_to(inert_row, (m_cap, _NCOLS))
 
     # ---- rebin decision (globally uniform) --------------------------------
+    # Per-axis displacement SPREAD, like the single-chip driver (ops/lazy.py
+    # module docstring): only RELATIVE drift expires frozen bins — a
+    # uniformly-falling cloud rebins never.  max/min are reduced globally
+    # (pmax/pmin), so `need` is uniform across devices by construction —
+    # which keeps the migration collectives inside the rebuild branch legal.
     valid0 = fields[:, _OID] >= 0.0
-    drift = jnp.max(jnp.where(valid0[:, None],
-                              jnp.abs(fields[:, 0:3] - pos_bin), 0.0))
-    need_l = (steps_since[0] < 0) | (drift > _f32(skin_half(cfg)))
+    delta = fields[:, 0:3] - pos_bin
+    d_hi = jax.lax.pmax(
+        jnp.max(jnp.where(valid0[:, None], delta, -_BIG), axis=0), _AXIS)
+    d_lo = -jax.lax.pmax(
+        jnp.max(jnp.where(valid0[:, None], -delta, -_BIG), axis=0), _AXIS)
+    spread = jnp.max(d_hi - d_lo)
+    fresh = jax.lax.pmax((steps_since[0] < 0).astype(jnp.int32), _AXIS) > 0
+    need = fresh | (spread > _f32(2.0 * skin_half(cfg)))
     if not lazy:
-        need_l = need_l | True
-    need = jax.lax.pmax(need_l.astype(jnp.int32), _AXIS) > 0
+        need = need | True
 
     # ---- migration + local re-sort (rebins only, one uniform cond) --------
-    # one-hop exchange only: with the skin bound a crosser is < one cell
-    # deep; anything farther (blow-up velocities) is dropped AND counted.
-    def pack(f):
-        valid_f = f[:, _OID] >= 0.0
+    # MULTI-HOP exchange: each hop routes movers one device toward their
+    # destination; a uniform while_loop (psum'd pending count) repeats until
+    # every mover has landed.  Under the old per-particle drift skin one hop
+    # always sufficed; the spread trigger lets a uniformly-translating cloud
+    # coast across MANY slab boundaries between rebins, so multi-slab movers
+    # are now routine, not a blow-up symptom.  m_cap starvation per hop is
+    # still dropped AND counted.
+    def _dest(f):
         zp = jnp.clip(jnp.floor(f[:, 2] * _f32(cfg.inv_cell_size))
                       .astype(jnp.int32), 0, cfg.grid_nz - 1)
-        dest = jnp.clip(jnp.searchsorted(zs, zp, side="right") - 1,
+        return jnp.clip(jnp.searchsorted(zs, zp, side="right") - 1,
                         0, ndev - 1)
-        go_left = valid_f & (dest == d - 1)
-        go_right = valid_f & (dest == d + 1)
+
+    def _pending(f):
+        moving = (f[:, _OID] >= 0.0) & (_dest(f) != d)
+        return jax.lax.psum(jnp.sum(moving.astype(jnp.int32)), _AXIS)
+
+    def pack(f):
+        valid_f = f[:, _OID] >= 0.0
+        dest = _dest(f)
+        go_left = valid_f & (dest < d)
+        go_right = valid_f & (dest > d)
         stay = valid_f & (dest == d)
-        too_far = valid_f & (jnp.abs(dest - d) > 1)
         # compact: stayers (0) | left (1) | right (2) | inert (3)
         key = jnp.where(stay, 0, jnp.where(go_left, 1,
                                            jnp.where(go_right, 2, 3)))
@@ -783,7 +826,6 @@ def slab_step_body(cfg: SphConfig, ndev: int, p_cap: int, h_cap: int,
         n_stay = jnp.sum(stay.astype(jnp.int32))
         n_left = jnp.sum(go_left.astype(jnp.int32))
         n_right = jnp.sum(go_right.astype(jnp.int32))
-        n_too_far = jnp.sum(too_far.astype(jnp.int32))
         # pad so take()'s dynamic start (<= p_cap) never clamps into stayers
         packed_pad = jnp.concatenate([packed_f, inert_m], axis=0)
 
@@ -793,14 +835,13 @@ def slab_step_body(cfg: SphConfig, ndev: int, p_cap: int, h_cap: int,
             return jnp.where(live[:, None], rows, inert_row)
 
         dropped = (jnp.maximum(n_left - m_cap, 0)
-                   + jnp.maximum(n_right - m_cap, 0) + n_too_far)
+                   + jnp.maximum(n_right - m_cap, 0))
         out_l = take(n_stay, jnp.minimum(n_left, m_cap))
         out_r = take(n_stay + n_left, jnp.minimum(n_right, m_cap))
         return packed_f, n_stay, out_l, out_r, dropped
 
-    def rebuild_store(f):
-        """Migrate (collectives included — the predicate is uniform), merge
-        arrivals, and re-sort the slab by cell id."""
+    def _hop(f):
+        """One routing hop: send movers one device toward their dest."""
         packed_f, n_stay, out_left, out_right, dropped = pack(f)
 
         in_from_right = jax.lax.ppermute(out_left, _AXIS, _perm(ndev, -1))
@@ -821,10 +862,25 @@ def slab_step_body(cfg: SphConfig, ndev: int, p_cap: int, h_cap: int,
             base, in_from_right, n_stay + n_in_l, axis=0)
         new_count = n_stay + n_in_l + n_in_r
         overflow = jnp.maximum(new_count - p_cap, 0)
-        merged = base[0:p_cap]
-        cnt2 = jnp.minimum(new_count, p_cap)
+        return base[0:p_cap], overflow, dropped
 
-        f_s, c_s = _sort_local(cfg, merged, slab_hi)
+    def rebuild_store(f):
+        """Route movers to their slabs (collectives included — the predicate
+        is uniform), then re-sort the slab by cell id."""
+        def cond(state):
+            return state[3] > 0
+
+        def body(state):
+            buf, overflow, dropped, _ = state
+            buf, ov, dr = _hop(buf)
+            return (buf, overflow + ov, dropped + dr, _pending(buf))
+
+        zero = jnp.zeros((), jnp.int32)
+        buf, overflow, dropped, _ = jax.lax.while_loop(
+            cond, body, (f, zero, zero, _pending(f)))
+        cnt2 = jnp.sum(buf[:, _OID] >= 0.0).astype(jnp.int32)
+
+        f_s, c_s = _sort_local(cfg, buf, slab_hi)
         return f_s, c_s, f_s[:, 0:3], cnt2, overflow, dropped
 
     def frozen_store(f):
@@ -1125,10 +1181,11 @@ def make_slab_step(cfg: SphConfig, mesh: Mesh, p_cap: int, h_cap: int,
     portable XLA sweeps.
 
     ``lazy=True`` (default) freezes the per-device sort + window tables
-    between rebins under the (cell - h)/2 drift skin — the distributed port
-    of the single-chip lazy driver, amortizing the per-step rebuild the
-    reference pays on every step (/root/reference/src/sph.cpp:438-481).
-    ``lazy=False`` rebins (and migrates) every step.
+    between rebins under the cell - h displacement-SPREAD skin — the
+    distributed port of the single-chip lazy driver, amortizing the per-step
+    rebuild the reference pays on every step
+    (/root/reference/src/sph.cpp:438-481).  ``lazy=False`` rebins (and
+    migrates) every step.
 
     ``scan_block=K`` (K > 1) runs K physics steps per dispatch via
     ``lax.scan``: the returned callable advances K steps per call and its

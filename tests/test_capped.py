@@ -171,6 +171,118 @@ def test_capped_requires_f32_exact_row_ids():
         pallas_step_t._validate(big)
 
 
+def _acceptance_run(scene: str, steps: int, **kw):
+    """(exact_diags, capped_diags, exact_state, capped_state) over a long
+    lazy run; both through the production lazy driver (scan-blocked)."""
+    from smoothed_particle_hydrodynamics_tpu.ops.lazy import drive_loop_lazy
+
+    cfg, state = make_scene(scene, **kw)
+    cfg_c = cfg.replace(capped_candidates=4)
+    s_e, d_e = drive_loop_lazy(cfg, state, steps, scan_block=50)
+    s_c, d_c = drive_loop_lazy(cfg_c, state, steps, scan_block=50)
+    return d_e, d_c, s_e, s_c
+
+
+def _drift(diags) -> float:
+    tot = (np.asarray(diags.kinetic_energy)
+           + np.asarray(diags.potential_energy))
+    return abs(float(tot[-1]) - float(tot[0])) / max(abs(float(tot[0])), 1e-30)
+
+
+def _same_state_density_ratio(cfg, state) -> float:
+    """Capped-vs-exact density MEAN ratio evaluated on the SAME state.
+
+    This isolates instantaneous sampling bias from trajectory chaos: along
+    diverged 500-step trajectories bulk statistics wander a few percent for
+    physical reasons (measured: ratio 0.997 / 1.013 / 0.972 at steps
+    1/50/200 on the small splash), which would mask a real reweighting bug.
+    """
+    cfg_c = cfg.replace(capped_candidates=4)
+    _, rho_c, _ = pallas_step_t.compute_step_quantities(cfg_c, state)
+    _, rho_e, _ = pallas_step_t.compute_step_quantities(
+        cfg.replace(capped_candidates=0), state)
+    return float(np.asarray(rho_c).mean() / np.asarray(rho_e).mean())
+
+
+def _tail_mean(x, frac: float = 0.2) -> float:
+    arr = np.asarray(x)
+    return float(arr[-max(int(len(arr) * frac), 1):].mean())
+
+
+def test_capped_physics_acceptance_splash():
+    """Regression gate for the capped sampling physics (VERDICT r3 #7): a
+    multi-hundred-step splash, capped K_c=4 reweighted vs exact.  Per-particle
+    noise (rel-L2 ~0.3-0.4, docs/PERFORMANCE.md r3 #9) is expected; BIAS is
+    not: (a) on the SAME state, capped density mean within 1% of exact;
+    (b) along the capped trajectory, bulk energy stays finite and inside a
+    stated envelope of the exact run's (time-averaged, so f32 chaos on a
+    4k-particle box does not flake the gate).  A kernel change that skews
+    the subsample (broken reweighting / hash selection) fails (a) at once
+    and (b) soon after.  150 steps: systematic sampling bias compounds from
+    step one (the same-state gate (a) catches it immediately, and the KE
+    tail integrates it), while 500-step interpret-mode trajectories cost
+    ~10 CPU-minutes each — this gate must stay cheap enough to run in every
+    suite invocation."""
+    steps = 150
+    d_e, d_c, s_e, s_c = _acceptance_run(
+        "splash", steps, num_particles=4096, grid_nx=16, grid_ny=16,
+        grid_nz=16, pallas_interpret=True, pallas_window_t=96,
+        cell_size_factor=1.25)
+    # the cap must actually bind, or this test asserts nothing
+    nm_e = float(np.asarray(d_e.neighbor_mean)[-1])
+    nm_c = float(np.asarray(d_c.neighbor_mean)[-1])
+    assert nm_c < 0.85 * nm_e, (nm_c, nm_e)
+    # (a) same-state unbiasedness, at t=0 and at the evolved exact state
+    cfg, state0 = make_scene(
+        "splash", num_particles=4096, grid_nx=16, grid_ny=16, grid_nz=16,
+        pallas_interpret=True, pallas_window_t=96, cell_size_factor=1.25)
+    for st in (state0, s_e):
+        ratio = _same_state_density_ratio(cfg, st)
+        assert 0.99 < ratio < 1.01, f"capped density biased: {ratio}"
+    # (b) trajectory envelope: finite, tail-averaged KE within 25%, total
+    # energy drift within 2x exact + 10% absolute
+    ke_c = np.asarray(d_c.kinetic_energy)
+    assert np.isfinite(ke_c).all()
+    tail_ratio = _tail_mean(d_c.kinetic_energy) / _tail_mean(d_e.kinetic_energy)
+    assert 0.75 < tail_ratio < 1.25, f"capped KE envelope: {tail_ratio}"
+    assert _drift(d_c) < 2.0 * _drift(d_e) + 0.10, (_drift(d_c), _drift(d_e))
+
+
+def test_capped_physics_acceptance_disk():
+    """Same gate on the reference's own scene: the rotating disk carries
+    angular momentum, so |L| conservation is the extra invariant the splash
+    cannot test (the reference logs |L| every step,
+    /root/reference/src/sph.cpp:176-177)."""
+    steps = 500
+    # 2h cells (csf 2.0) so the disk's center is dense enough for K_c=4 to
+    # bind, like the reference's own 2h grid (/root/reference/src/sph.cpp:64)
+    kw = dict(num_particles=8192, pallas_interpret=True,
+              pallas_window_t=96, cell_size_factor=2.0)
+    d_e, d_c, s_e, s_c = _acceptance_run("disk", steps, **kw)
+    nm_e = float(np.asarray(d_e.neighbor_mean)[-1])
+    nm_c = float(np.asarray(d_c.neighbor_mean)[-1])
+    assert nm_c < 0.85 * nm_e, (nm_c, nm_e)
+    cfg, state0 = make_scene("disk", **kw)
+    # wider envelope than the splash: the ratio's scatter scales with the
+    # number of cells where the cap BINDS (one kept-set realization per
+    # cell, errors correlated within a neighborhood) — the dilute disk has
+    # ~10^3 binding cells vs the splash lattice's ~4x more, so ~2x the
+    # scatter (measured 1.000 at 1M where millions of cells bind,
+    # docs/PERFORMANCE.md r3 #9)
+    for st in (state0, s_e):
+        ratio = _same_state_density_ratio(cfg, st)
+        assert 0.98 < ratio < 1.02, f"capped density biased: {ratio}"
+    # |L| drift over the run, capped vs exact: the conservation envelope
+    l_e = np.asarray(d_e.angular_momentum)
+    l_c = np.asarray(d_c.angular_momentum)
+    assert np.isfinite(l_c).all()
+    drift_e = abs(float(l_e[-1]) - float(l_e[0])) / abs(float(l_e[0]))
+    drift_c = abs(float(l_c[-1]) - float(l_c[0])) / abs(float(l_c[0]))
+    assert drift_c < 2.0 * drift_e + 0.02, (drift_c, drift_e)
+    tail_ratio = _tail_mean(d_c.kinetic_energy) / _tail_mean(d_e.kinetic_energy)
+    assert 0.75 < tail_ratio < 1.25, f"capped KE envelope: {tail_ratio}"
+
+
 def test_lazy_bench_rejects_non_pallas_backend():
     """run_benchmark(lazy=True) always drives the pallas kernels; labeling
     the row with another backend name would record an engine that never

@@ -100,6 +100,38 @@ def test_validate_rejects_unsupported_modes():
         lazy.init_lazy(cfg, state)
 
 
+def test_uniform_translation_never_rebins():
+    """Common-mode motion must not expire frozen bins: the trigger is the
+    per-axis displacement SPREAD (module docstring), so a cloud translating
+    many skins of distance keeps its structure — and the frozen-bin physics
+    still matches the eager per-step-rebin path exactly."""
+    steps = 6
+    cfg, state = make_scene("disk", num_particles=768,
+                            pallas_layout="sublane", pallas_interpret=True,
+                            pallas_window_t=64, cell_size_factor=1.5,
+                            central_mass=0.0)
+    # uniform velocity: one full skin_half of common drift per step — the
+    # old per-particle bound would rebuild every step (6 skins total)
+    v = lazy.skin_half(cfg) * cfg.sim_scale / cfg.dt
+    state = state._replace(velocity=jnp.broadcast_to(
+        jnp.asarray([v, 0.0, 0.0], jnp.float32), state.velocity.shape))
+    carry, _ = _run_lazy(cfg, state, steps)
+    assert int(carry.rebin_count) == 0, (
+        f"translating cloud rebuilt {int(carry.rebin_count)}x — the spread "
+        "trigger is not seeing relative drift")
+    got = lazy.unsort_carry(carry)
+
+    ref_state = state
+    f = jax.jit(partial(step, cfg, backend="pallas"))
+    for _ in range(steps):
+        ref_state, _ = f(ref_state)
+    np.testing.assert_allclose(np.asarray(got.position),
+                               np.asarray(ref_state.position),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(got.neighbor_count),
+                                  np.asarray(ref_state.neighbor_count))
+
+
 def test_scan_block_matches_host_loop():
     """drive_loop_lazy(scan_block=K) must reproduce the host loop exactly:
     same final state, same per-step diagnostics (incl. a remainder tail

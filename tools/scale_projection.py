@@ -36,11 +36,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def run_row(row: str, n: int, grid_nz: int = 0,
-            timeout: int = 1800) -> dict | None:
+            timeout: int = 1800, scan_block: int = 0) -> dict | None:
     cmd = [sys.executable, os.path.join(REPO, "bench.py"), "--row", row,
            "-n", str(n), "--scene", "splash", "--steps", "50",
            "--warmup", "5", "--slab-sweeps", "pallas",
-           "--grid-nz", str(grid_nz)]
+           "--grid-nz", str(grid_nz), "--scan-block", str(scan_block)]
     try:
         out = subprocess.run(cmd, capture_output=True, text=True,
                              timeout=timeout, cwd=REPO)
@@ -69,13 +69,17 @@ def main() -> int:
     results = []
     for n in sizes:
         for row in rows:
-            print(f"measuring {row} @ n/chip={n} grid_nz={grid_nz} ...",
-                  flush=True)
-            r = run_row(row, n, grid_nz)
+            # dispatch amortization where the per-call floor dominates the
+            # small device step (~2.4 ms/call, docs/PERFORMANCE.md r3 #12)
+            scan_block = 8 if n <= 250_000 else (4 if n <= 500_000 else 0)
+            print(f"measuring {row} @ n/chip={n} grid_nz={grid_nz} "
+                  f"scan_block={scan_block} ...", flush=True)
+            r = run_row(row, n, grid_nz, scan_block=scan_block)
             if r is None:
                 continue
             ms = r["ms_per_step"]
             rec = {"row": row, "n_per_chip": n, "grid_nz": grid_nz,
+                   "scan_block": scan_block,
                    "ms_per_step": ms,
                    "pps_per_chip": n / ms * 1e3,
                    "aggregate_n": n * d,
