@@ -1,22 +1,28 @@
-"""DMA-floor probe: is the sweep issue-bound (VPU) or byte-bound (DMA)?
+"""DMA-floor probe: what the sweep pays for DMA bytes vs descriptors vs VPU.
 
-Runs kernels with the EXACT production sweep structure (same prepare_t
-windows, same [s_t, 128] slab DMAs, same double-buffered pipeline, same
-grid) but a controlled number of VPU ops per lane K in {1, 6, 12, 24, 48}.
-A linear fit  time(K) = a + b*K  separates the two rooflines:
+Round-4 finding that motivated this tool: a probe kernel with the EXACT
+production sweep structure (same prepare_t windows, same [s_t, 128] slab
+DMAs, same double-buffered pipeline, same grid) runs at ~27 ms at 1M with
+trivial compute, vs 44 ms for the real density sweep — so ~60% of the sweep
+is NOT per-lane VPU math.  This probe decomposes that floor with three
+variants at constant descriptor count and constant VPU volume:
 
-* ``a`` (intercept) = everything that is NOT per-lane VPU issue — the HBM
-  DMA for the windows, per-rod bookkeeping, pipeline waits, output writes.
-  Byte-packing levers (bf16 candidate fields, two-rods-per-row) can only
-  ever attack ``a``; if a << production sweep time they cannot pay.
-* ``b`` (slope, ms per op-per-lane) = the VPU issue cost of one
-  elementwise op over the full swept volume.  b * swept_lanes gives the
-  effective VPU rate, quotable as a fraction of the v5e VPU peak (the MFU
-  line BASELINE.md carries).
+* ``full``      — DMA s_t rows per window, compute K FMAs/lane on [s_t,128].
+* ``halfbytes`` — DMA only s_t/2 rows (same descriptor count, HALF the
+                  bytes), compute the same K FMAs/lane (twice on
+                  [s_t/2,128]).  full - halfbytes = cost of s_t/2 rows of
+                  pure DMA BYTES.
+* ``nodma``     — no window DMA at all (compute on the scratch as-is).
+                  The remaining time is grid iteration + output writes +
+                  per-block bookkeeping.
 
-The production density sweep issues ~24 ops/lane and force ~40 (counted in
-ops/pallas_step_t.py pair_compute bodies); the fit prediction at those
-op counts is cross-checked against the real sweeps in the same process.
+The VPU ladder is a dependent FMA chain (acc = acc*c + t), which Mosaic
+cannot reassociate away (verified: the earlier additive ladder folded flat).
+
+Decision rule (VERDICT r3 #5): byte-packing levers (bf16 fields,
+k-candidates-per-row packing) can save at most (full - halfbytes) * 2 *
+pack_factor_share; if that is small next to the real sweeps, the levers
+cannot pay and PERFORMANCE.md records the proof.
 
 Usage: python tools/probe_dma_floor.py [N] [K_c]
 """
@@ -29,6 +35,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from smoothed_particle_hydrodynamics_tpu.models import make_scene
 from smoothed_particle_hydrodynamics_tpu.ops import pallas_step_t as pst
@@ -47,34 +54,68 @@ def bench(name, fn, *args, iters=10):
         out = fn(*args)
     sync(out)
     dt = (time.perf_counter() - t0) / iters * 1000
-    print(f"{name:40s} {dt:9.3f} ms", flush=True)
+    print(f"{name:44s} {dt:9.3f} ms", flush=True)
     return dt
 
 
-def _probe_kernel(cfg, s_t, block_base, n_ops,
+def _probe_kernel(n_ops, mode, cfg, s_t, block_base,
                   ws_ref, wc_ref, ref_ref, fields_hbm, self_ref,
                   out_ref, cand, sem):
-    """Production sweep skeleton with n_ops VPU ops per lane.
+    """Production sweep skeleton; mode in {"full", "halfbytes", "nodma"}.
 
-    The op chain is a dependent multiply-add ladder on the [s_t, 128]
-    broadcast of candidate column 0 against the self row — the same tile
-    shape and broadcast pattern as the real pair math, unfusable and
-    unhoistable (depends on both the tile and the accumulator).
-    """
+    VPU volume is held constant across modes: n_ops dependent FMAs per lane
+    over s_t*128 lanes per (rod, chunk) — as one [s_t,128] ladder (full /
+    nodma) or two [s_t/2,128] ladders (halfbytes)."""
+    del wc_ref  # single-chunk timing probe: every window walks one chunk
+    i = pl.program_id(0)
+    nblocks = pl.num_programs(0)
+    nranges = len(pst._RODS)
     xi = self_ref[0:1, :]
+    c_fma = jnp.float32(0.9999999)
 
-    def pair_compute(carry, tiles, r, jg, own, gate):
-        t = tiles[0][:, 0:1] - xi          # [s_t, 128] broadcast, 1 op
-        acc = carry
-        for _ in range(max(n_ops - 2, 0) // 2):
-            acc = acc + t * 1.0000001       # fused mul-add pair
-        return acc + jnp.sum(t, axis=0, keepdims=True) * 0.0
+    def wsl(block, r):
+        return ws_ref[block * nranges + r]
 
-    init = jnp.zeros((1, pst.BLANE), jnp.float32)
-    acc = pst._sweep_body_t(cfg, s_t, block_base, ws_ref, wc_ref, ref_ref,
-                            fields_hbm, self_ref, cand, sem,
-                            init, pair_compute)
-    out_ref[0, :] = jnp.sum(acc, axis=0)
+    def dma(block, r, slot):
+        row0 = pl.multiple_of(wsl(block, r), pst.SUB)
+        rows = s_t // 2 if mode == "halfbytes" else s_t
+        return pltpu.make_async_copy(
+            fields_hbm.at[pl.ds(row0, rows), :],
+            cand.at[slot, r, 0, pl.ds(0, rows)],
+            sem.at[slot, r, 0])
+
+    def start_block(block, slot):
+        for r in range(nranges):
+            dma(block, r, slot).start()
+
+    if mode != "nodma":
+        @pl.when(i == 0)
+        def _():
+            start_block(0, 0)
+
+        @pl.when(i + 1 < nblocks)
+        def _():
+            start_block(i + 1, (i + 1) % 2)
+
+    slot = i % 2
+    acc = jnp.zeros((1, pst.BLANE), jnp.float32)
+    for r in range(nranges):
+        if mode != "nodma":
+            dma(i, r, slot).wait()
+        if mode == "halfbytes":
+            for half in range(2):
+                t = cand[slot, r, 0, (s_t // 2) * half:(s_t // 2) * (half + 1)]
+                u = t[:, 0:1] - xi
+                for _ in range(n_ops):
+                    u = u * c_fma + t[:, 1:2]
+                acc = acc + jnp.sum(u, axis=0, keepdims=True)
+        else:
+            t = cand[slot, r, 0]
+            u = t[:, 0:1] - xi
+            for _ in range(n_ops):
+                u = u * c_fma + t[:, 1:2]
+            acc = acc + jnp.sum(u, axis=0, keepdims=True)
+    out_ref[0, :] = acc.reshape(pst.BLANE)
 
 
 def main():
@@ -83,24 +124,21 @@ def main():
     cfg, state = make_scene("splash", num_particles=n,
                             cell_size_factor=1.25)
     if k_c:
-        from smoothed_particle_hydrodynamics_tpu.ops.pallas_step_t import (
-            derive_sub_len)
         cfg = cfg.replace(capped_candidates=k_c, pallas_window_t=0)
-        cfg = cfg.replace(capped_sub_len=derive_sub_len(cfg, state))
-    from smoothed_particle_hydrodynamics_tpu.ops.pallas_step_t import (
-        derive_window_t)
-    if cfg.pallas_window_t == 0:
-        cfg = cfg.replace(pallas_window_t=derive_window_t(cfg, state))
+        cfg = cfg.replace(capped_sub_len=pst.derive_sub_len(cfg, state))
+    cfg = cfg.replace(pallas_window_t=pst.derive_window_t(cfg, state))
     print(f"n={n} K_c={k_c} window_t={cfg.pallas_window_t}")
 
     prep = jax.jit(partial(pst.prepare_t, cfg))
     p = sync(prep(state))
 
-    # swept volume for the MFU line: chunks * s_t * 128 lanes
     wc = np.asarray(p.wc)
-    swept_lanes = int(wc.sum()) * cfg.pallas_window_t * pst.BLANE
-    print(f"swept lanes/sweep: {swept_lanes/1e9:.2f} G "
-          f"(windows {int((wc>0).sum())}, chunks {int(wc.sum())})")
+    s_t = cfg.pallas_window_t
+    # the probe walks exactly one chunk per window: its swept volume
+    swept_lanes = int((wc > 0).sum()) * s_t * pst.BLANE
+    swept_gb = swept_lanes * 4 / 1e9
+    print(f"probe swept: {swept_lanes/1e9:.2f} G lanes = {swept_gb:.1f} GB "
+          f"(production chunks {int(wc.sum())}, windows {int((wc>0).sum())})")
 
     iota_f = jnp.arange(p.pos_s.shape[0], dtype=jnp.int32).astype(jnp.float32)
     if cfg.capped_candidates:
@@ -118,38 +156,37 @@ def main():
     selfc = jnp.concatenate(
         [p.pos_s, p.mass_s[:, None], p.cid_f[:, None]], axis=1)
 
-    def probe_fn(n_ops):
+    def probe_fn(n_ops, mode):
         f = jax.jit(lambda c, s: pst._run_chunked(
-            cfg, p, partial(_probe_kernel, n_ops=n_ops), c, s,
+            cfg, p, partial(_probe_kernel, n_ops, mode), c, s,
             out_specs=pl.BlockSpec((1, pst.BLANE), lambda i, *_: (0, i)),
             make_out_shape=lambda rows: jax.ShapeDtypeStruct(
                 (1, rows), jnp.float32)))
         return lambda: f(cand, selfc)
 
-    ks = [2, 6, 12, 24, 48]
-    ts = []
-    for k in ks:
-        ts.append(bench(f"probe sweep, {k:3d} ops/lane", probe_fn(k)))
+    results = {}
+    for mode in ("full", "halfbytes", "nodma"):
+        for k in (2, 12, 24):
+            results[(mode, k)] = bench(f"{mode:10s} {k:3d} FMA/lane",
+                                       probe_fn(k, mode))
 
-    b, a = np.polyfit(ks, ts, 1)
-    print(f"\nfit: time = {a:.1f} ms + {b:.3f} ms/op  (r2 "
-          f"{1 - np.var(np.polyval([b, a], ks) - ts)/np.var(ts):.4f})")
-    print(f"DMA+bookkeeping floor a = {a:.1f} ms; at the production density "
-          f"op count (~24): floor share {a/np.polyval([b,a],[24])[0]*100:.0f}%")
-    rate = swept_lanes / (b * 1e-3) / 1e12
-    print(f"VPU issue rate from slope: {rate:.2f} Tops/s "
-          f"({rate/3.85*100:.0f}% of the ~3.85 Tops/s v5e VPU issue peak "
-          f"[8x128 lanes x 4 slots x 0.94 GHz])")
+    print()
+    for k in (2, 12, 24):
+        full, half, nod = (results[("full", k)], results[("halfbytes", k)],
+                           results[("nodma", k)])
+        print(f"K={k:3d}: bytes(s_t/2 rows)={full-half:6.2f} ms  "
+              f"dma_total={full-nod:6.2f} ms  grid+vpu={nod:6.2f} ms")
+    # VPU issue rate from the FMA slope of the nodma variant
+    b = (results[("nodma", 24)] - results[("nodma", 2)]) / 22
+    rate = swept_lanes / (b * 1e-3) / 1e12 if b > 0 else float("inf")
+    print(f"nodma FMA slope {b*1000:.1f} us/FMA -> {rate:.2f} TFMA/s over the "
+          f"swept volume")
 
     # cross-check against the real sweeps in the same process
-    dens = jax.jit(lambda st: pst.density_sweep_t(cfg, pst.prepare_t(cfg, st)))
-    rho_s = sync(jax.jit(lambda st: pst.density_sweep_t(
-        cfg, pst.prepare_t(cfg, st))[0])(state))
-    p_fixed = p
-    dfn = jax.jit(partial(pst.density_sweep_t, cfg))
-    bench("real density sweep", dfn, p_fixed)
-    ffn = jax.jit(partial(pst.force_sweep_t, cfg))
-    bench("real force sweep", ffn, p_fixed, rho_s[:p.pos_s.shape[0]])
+    rho_s = sync(jax.jit(partial(pst.density_sweep_t, cfg))(p))[0]
+    bench("real density sweep", jax.jit(partial(pst.density_sweep_t, cfg)), p)
+    bench("real force sweep", jax.jit(partial(pst.force_sweep_t, cfg)),
+          p, rho_s)
 
 
 if __name__ == "__main__":
