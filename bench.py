@@ -81,7 +81,8 @@ def _compute_row(row: str, args) -> dict:
         r = run_benchmark(scene=args.scene, backend="pallas", steps=steps,
                           warmup=warm,
                           overrides=dict(base, capped_candidates=4,
-                                         pallas_window_t=0),
+                                         pallas_window_t=0,
+                                         pallas_block_t=256),
                           lazy=True)
         return {k: r[k] for k in ("value", "ms_per_step", "steps")}
     if row == "capped_k4_10m":
@@ -93,7 +94,8 @@ def _compute_row(row: str, args) -> dict:
                           warmup=3,
                           overrides=dict(base, num_particles=10_000_000,
                                          capped_candidates=4,
-                                         pallas_window_t=0),
+                                         pallas_window_t=0,
+                                         pallas_block_t=256),
                           lazy=True)
         return {k: r[k] for k in ("value", "ms_per_step", "steps",
                                   "num_particles")}
@@ -109,7 +111,8 @@ def _compute_row(row: str, args) -> dict:
         r = run_slab_benchmark(n=args.num_particles, steps=steps,
                                sweeps="pallas",
                                overrides=dict(slab_ov, capped_candidates=4,
-                                              pallas_window_t=0),
+                                              pallas_window_t=0,
+                                              pallas_block_t=256),
                                scan_block=args.scan_block)
         return {k: r[k] for k in slab_keys}
     raise SystemExit(f"unknown row {row!r}")

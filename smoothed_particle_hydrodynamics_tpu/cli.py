@@ -98,6 +98,14 @@ def cmd_run(args) -> int:
         cfg, state = make_scene(args.scene, **overrides)
         start_step = 0
     cfg.validate()
+    if (args.backend == "pallas" and cfg.capped_candidates
+            and "pallas_block_t" not in overrides):
+        # capped windows are K_c-bounded, so 256-wide kernel blocks halve
+        # the per-(block, rod) fixed + DMA-descriptor costs for only ~35%
+        # more (cheap) union-window lanes — measured -17% steady at 1M
+        # (docs/PERFORMANCE.md r4 #33).  Exact mode stays 128: its windows
+        # are occupancy-bounded and the union growth wins there.
+        cfg = cfg.replace(pallas_block_t=256)
     if args.backend == "pallas" and cfg.pallas_window_t == 0:
         # auto window: size the sublane DMA window from this scene's actual
         # rod-window length distribution (p90 measured best)

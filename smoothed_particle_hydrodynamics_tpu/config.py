@@ -103,6 +103,13 @@ class SphConfig:
     # measured best (smaller hits the synchronous multi-chunk tail, larger is
     # padding — docs/PERFORMANCE.md round 2)
     pallas_window_t: int = 192      # sublane-layout window (multiple of 8)
+    # sublane-layout particles per kernel grid step (the output lane width).
+    # Wider blocks visit fewer (block, rod) windows: per-rod fixed cost and
+    # DMA descriptor count scale with block COUNT while the union window
+    # only grows by the extra block extent — measured at 1M the sweeps are
+    # descriptor/fixed-cost bound, not VPU bound (docs/PERFORMANCE.md r4
+    # #32), so 256 trades ~35% more cheap lanes for half the overhead.
+    pallas_block_t: int = 128       # sublane-layout block width (128/256/512)
     # lane groups per 128-particle block: each group gets its own (smaller)
     # rod windows, merged per candidate column by lane selects — trades a few
     # select ops for near-G-fold fewer swept rows (block extent dominates

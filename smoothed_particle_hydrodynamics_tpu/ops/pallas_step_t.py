@@ -57,8 +57,20 @@ _HI = jax.lax.Precision.HIGHEST
 _MXU_REDUCE = True   # A/B: True = dot_general reduces, False = VPU sublane sums
 
 SUB = 8      # f32 sublane granularity: window starts align to this
-BLANE = 128  # particles per block = one lane width
+BLANE = 128  # default particles per block = one lane width
 LANE = 128   # stored row width (Mosaic cannot DMA lane-sliced windows)
+
+
+def _blane(cfg: SphConfig) -> int:
+    """Particles per kernel grid step (output lane width).
+
+    ``cfg.pallas_block_t`` > 128 widens blocks: per-(block, rod) fixed cost
+    and DMA descriptor count halve per doubling while the union rod window
+    grows only by the extra block extent — the winning trade when the
+    sweeps are overhead-bound (docs/PERFORMANCE.md r4 #32).  Vector ops and
+    the MXU reductions run at [s_t, b] (b a multiple of the 128-lane tile).
+    """
+    return getattr(cfg, "pallas_block_t", BLANE) or BLANE
 
 
 def _block_windows_t(cfg: SphConfig, cid_sorted, nblocks: int,
@@ -87,10 +99,11 @@ def _block_windows_t(cfg: SphConfig, cid_sorted, nblocks: int,
     if cid_search is None:
         cid_search = cid_sorted
     g = cfg.pallas_groups
-    grows = BLANE // g
+    b = _blane(cfg)
+    grows = b // g
     deltas = jnp.asarray([(dz * cfg.grid_ny + dy) * cfg.grid_nx
                           for dy, dz in _RODS], jnp.int32)
-    pad = nblocks * BLANE - n
+    pad = nblocks * b - n
     cid_p = jnp.pad(cid_sorted, (0, pad), constant_values=cfg.num_cells - 1)
     groups = cid_p.reshape(nblocks * g, grows)
     lo_cell = jnp.clip(groups[:, 0][:, None] + deltas[None, :] - 1,
@@ -115,10 +128,11 @@ def _block_windows_t(cfg: SphConfig, cid_sorted, nblocks: int,
 
 
 def _lane_group_masks(cfg: SphConfig):
-    """[1, 128] bool per group: which lanes belong to group g."""
+    """[1, b] bool per group: which lanes belong to group g."""
     g = cfg.pallas_groups
-    grows = BLANE // g
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, BLANE), 1)
+    b = _blane(cfg)
+    grows = b // g
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, b), 1)
     return [(lane // grows) == k for k in range(g)]
 
 
@@ -149,12 +163,13 @@ def _sweep_body_t(cfg, s_t, block_base,
     per-rod conds the previous version paid on every block.
     """
     G = cfg.pallas_groups
+    b = _blane(cfg)
     i = pl.program_id(0)
     nblocks = pl.num_programs(0)
     nranges = len(_RODS)
     iota_sub = jax.lax.broadcasted_iota(jnp.int32, (s_t, 1), 0)
-    own = ((block_base + i) * BLANE
-           + jax.lax.broadcasted_iota(jnp.int32, (1, BLANE), 1))
+    own = ((block_base + i) * b
+           + jax.lax.broadcasted_iota(jnp.int32, (1, b), 1))
     masks = _lane_group_masks(cfg)
 
     def wsl(block, g, r):
@@ -206,7 +221,7 @@ def _sweep_body_t(cfg, s_t, block_base,
         tiles = [cand[slot, r, g] for g in range(G)]
         jg = wsl(i, 0, r) + iota_sub
         if G > 1:
-            jg = jnp.broadcast_to(jg, (s_t, BLANE))
+            jg = jnp.broadcast_to(jg, (s_t, b))
             for g in range(1, G):
                 jg = jnp.where(masks[g], wsl(i, g, r) + iota_sub, jg)
         carry = pair_compute(carry, tiles, r, jg, own, None)
@@ -281,7 +296,8 @@ def _density_kernel_t(cfg: SphConfig, s_t: int, block_base: int,
         ncount = ncount + jnp.sum(mask.astype(jnp.int32), axis=0, keepdims=True)
         return rho, ncount
 
-    init = (jnp.zeros((1, BLANE), jnp.float32), jnp.zeros((1, BLANE), jnp.int32))
+    b = _blane(cfg)
+    init = (jnp.zeros((1, b), jnp.float32), jnp.zeros((1, b), jnp.int32))
     rho, ncount = _sweep_body_t(
         cfg, s_t, block_base, ws_ref, wc_ref, ref_ref,
         fields_hbm, self_ref, cand, sem, init, pair_compute)
@@ -290,8 +306,8 @@ def _density_kernel_t(cfg: SphConfig, s_t: int, block_base: int,
         m_i = self_ref[3:4, :]
         h2s = _f32(cfg.h_scaled2)
         rho = rho + m_i * _f32(cfg.poly6_norm) * h2s * h2s * h2s
-    rho_ref[0, :] = rho.reshape(BLANE)
-    ncount_ref[0, :] = ncount.reshape(BLANE)
+    rho_ref[0, :] = rho.reshape(b)
+    ncount_ref[0, :] = ncount.reshape(b)
 
 
 # ---------------------------------------------------------------------------
@@ -331,9 +347,10 @@ def _force_kernel_t(cfg: SphConfig, s_t: int, block_base: int,
     rhoi_inv = 1.0 / jnp.where(rhoi > 0.0, rhoi, 1.0)
     pw_i = (rhoi - rho0) * k * rhoi_inv * rhoi_inv
 
+    b = _blane(cfg)
     masks = _lane_group_masks(cfg)
-    lane4 = jax.lax.broadcasted_iota(jnp.int32, (4, BLANE), 1)
-    masks4 = [(lane4 // (BLANE // cfg.pallas_groups)) == k
+    lane4 = jax.lax.broadcasted_iota(jnp.int32, (4, b), 1)
+    masks4 = [(lane4 // (b // cfg.pallas_groups)) == k
               for k in range(cfg.pallas_groups)]
 
     def pair_compute(carry, tiles, r, jg, own, gate):
@@ -408,7 +425,7 @@ def _force_kernel_t(cfg: SphConfig, s_t: int, block_base: int,
                 red(_merge_cols(tiles, masks, 7), hd)], axis=0)
         return acc_p, acc_v
 
-    zero4 = jnp.zeros((4, BLANE), jnp.float32)
+    zero4 = jnp.zeros((4, b), jnp.float32)
     acc_p, acc_v = _sweep_body_t(
         cfg, s_t, block_base, ws_ref, wc_ref, ref_ref,
         fields_hbm, self_ref, cand, sem, (zero4, zero4), pair_compute)
@@ -426,22 +443,23 @@ def _force_kernel_t(cfg: SphConfig, s_t: int, block_base: int,
 
     norm = _f32(cfg.visc_lap_norm)
     mu_rhoi = _f32(cfg.viscosity) * rhoi_inv
-    acc_ref[0, :] = (mu_rhoi * vx * norm + ax * norm).reshape(BLANE)
-    acc_ref[1, :] = (mu_rhoi * vy * norm + ay * norm).reshape(BLANE)
-    acc_ref[2, :] = (mu_rhoi * vz * norm + az * norm).reshape(BLANE)
+    acc_ref[0, :] = (mu_rhoi * vx * norm + ax * norm).reshape(b)
+    acc_ref[1, :] = (mu_rhoi * vy * norm + ay * norm).reshape(b)
+    acc_ref[2, :] = (mu_rhoi * vz * norm + az * norm).reshape(b)
 
 
 # ---------------------------------------------------------------------------
 # pallas_call wrapper
 # ---------------------------------------------------------------------------
 
-def _grid_spec_t(nblocks: int, nself: int, s_t: int, groups: int, out_specs):
+def _grid_spec_t(nblocks: int, nself: int, s_t: int, groups: int, out_specs,
+                 b: int = BLANE):
     return pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,                             # ws, wc (i32), ref (f32)
         grid=(nblocks,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),          # fields [n_pad, 128]
-            pl.BlockSpec((nself, BLANE), lambda i, *_: (0, i),
+            pl.BlockSpec((nself, b), lambda i, *_: (0, i),
                          memory_space=pltpu.VMEM),         # self rows
         ],
         out_specs=out_specs,
@@ -497,6 +515,9 @@ def _validate(cfg: SphConfig) -> None:
                          " (0 = auto is resolved by the CLI via derive_window_t)")
     if cfg.pallas_groups not in (1, 2, 4):
         raise ValueError("pallas_groups must be 1, 2, or 4")
+    if _blane(cfg) not in (128, 256, 512):
+        raise ValueError("pallas_block_t must be 128, 256, or 512 "
+                         "(a multiple of the 128-lane tile)")
     if cfg.capped_candidates and cfg.pallas_groups != 1:
         raise ValueError("capped_candidates currently requires pallas_groups=1")
     if cfg.capped_candidates and cfg.num_particles > 1 << 24:
@@ -595,7 +616,7 @@ def derive_window_t(cfg: SphConfig, state: ParticleState,
 
     n = state.position.shape[0]
     g = cfg.pallas_groups
-    grows = BLANE // g
+    grows = _blane(cfg) // g
     cid = np.sort(np.asarray(linear_cell_id(cfg, cell_coords(cfg, state.position))))
     deltas = np.asarray([(dz * cfg.grid_ny + dy) * cfg.grid_nx
                          for dy, dz in _RODS])
@@ -643,7 +664,7 @@ def prepare_t(cfg: SphConfig, state: ParticleState) -> PreparedT:
     """
     _validate(cfg)
     n = state.position.shape[0]
-    nblocks = -(-n // BLANE)
+    nblocks = -(-n // _blane(cfg))
     k_c = cfg.capped_candidates
 
     cid = linear_cell_id(cfg, cell_coords(cfg, state.position))
@@ -702,7 +723,8 @@ def prepare_t(cfg: SphConfig, state: ParticleState) -> PreparedT:
     ws, wc = _block_windows_t(cfg, cid_sorted, nblocks,
                               cfg.pallas_window_t, n, search_pad,
                               cid_search=cid_search)
-    first = jnp.minimum(jnp.arange(nblocks, dtype=jnp.int32) * BLANE, n - 1)
+    first = jnp.minimum(jnp.arange(nblocks, dtype=jnp.int32) * _blane(cfg),
+                        n - 1)
     return PreparedT(
         order=order,
         pos_s=pos_s,
@@ -722,10 +744,11 @@ def _run_chunked(cfg, p: PreparedT, kernel, cand_cols, self_cols,
     via the dedicated cid column fill)."""
     s_t = cfg.pallas_window_t
     G = cfg.pallas_groups
+    b = _blane(cfg)
     n = p.pos_s.shape[0]
     n_pad = _n_pad(cfg, n)
-    nblocks = -(-n // BLANE)
-    pad_rows = nblocks * BLANE - n
+    nblocks = -(-n // b)
+    pad_rows = nblocks * b - n
     MAX_BLOCKS = (256 << 10) // (len(_RODS) * G * 4)
     fields = _pad_rows(cand_cols, n_pad, LANE)             # [n_pad, 128]
     selfrows = jnp.pad(self_cols.T, ((0, 0), (0, pad_rows)))
@@ -735,14 +758,15 @@ def _run_chunked(cfg, p: PreparedT, kernel, cand_cols, self_cols,
         sl = slice(base * G * len(_RODS), (base + nb_c) * G * len(_RODS))
         out = pl.pallas_call(
             partial(kernel, cfg, s_t, base),
-            out_shape=make_out_shape(nb_c * BLANE),
-            grid_spec=_grid_spec_t(nb_c, self_cols.shape[1], s_t, G, out_specs),
+            out_shape=make_out_shape(nb_c * b),
+            grid_spec=_grid_spec_t(nb_c, self_cols.shape[1], s_t, G,
+                                   out_specs, b=b),
             interpret=cfg.pallas_interpret,
         )(p.ws[sl], p.wc[sl],
           jax.lax.dynamic_slice_in_dim(p.ref, base * 3, nb_c * 3),
           fields,
-          jax.lax.dynamic_slice_in_dim(selfrows, base * BLANE,
-                                       nb_c * BLANE, axis=1))
+          jax.lax.dynamic_slice_in_dim(selfrows, base * b,
+                                       nb_c * b, axis=1))
         parts.append(out)
     if isinstance(parts[0], (tuple, list)):
         return tuple(jnp.concatenate([pt[k] for pt in parts], axis=1)
@@ -761,7 +785,8 @@ def density_sweep_t(cfg: SphConfig, p: PreparedT, pv_sub=None
                     ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """(rho_s, ncount_s) in sorted order."""
     n = p.pos_s.shape[0]
-    n_rows = -(-n // BLANE) * BLANE
+    b = _blane(cfg)
+    n_rows = -(-n // b) * b
     # candidate lanes: x, y, z, cid, m, src; self rows: x, y, z, m, cid.
     # Padding rows beyond N get an impossible cid so window chunks that
     # overrun the array tail always fail the rod mask (and far-away
@@ -789,8 +814,8 @@ def density_sweep_t(cfg: SphConfig, p: PreparedT, pv_sub=None
     rho_blocks, nc_blocks = _run_chunked(
         cfg, p, _density_kernel_t, cand, selfc,
         out_specs=(
-            pl.BlockSpec((1, BLANE), lambda i, *_: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BLANE), lambda i, *_: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b), lambda i, *_: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b), lambda i, *_: (0, i), memory_space=pltpu.VMEM),
         ),
         make_out_shape=lambda rows: (
             jax.ShapeDtypeStruct((1, rows), jnp.float32),
@@ -836,7 +861,7 @@ def force_sweep_t(cfg: SphConfig, p: PreparedT, rho_s: jnp.ndarray,
          p.cid_f[:, None]], axis=1)
     acc_rows = _run_chunked(
         cfg, p, _force_kernel_t, cand, selfc,
-        out_specs=pl.BlockSpec((3, BLANE), lambda i, *_: (0, i),
+        out_specs=pl.BlockSpec((3, _blane(cfg)), lambda i, *_: (0, i),
                                memory_space=pltpu.VMEM),
         make_out_shape=lambda rows: jax.ShapeDtypeStruct((3, rows), jnp.float32),
     )

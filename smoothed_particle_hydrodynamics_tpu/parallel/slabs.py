@@ -133,8 +133,12 @@ def derive_slab_caps(cfg: SphConfig, state: ParticleState, ndev: int,
     # one full plane of migration capacity per direction per hop: under the
     # spread trigger a coasting cloud can cross whole planes between rebins
     m_cap = max(h_cap, 64)
-    # 128-multiples so the pallas sweep variant's lane blocks tile exactly
-    rnd = lambda v: -(-v // 128) * 128
+    # block-width multiples so the pallas sweep variant's lane blocks tile
+    # exactly (128 by default; 256/512 under the pallas_block_t dial)
+    from ..ops import pallas_step_t as pt
+
+    b = pt._blane(cfg)
+    rnd = lambda v: -(-v // b) * b
     return rnd(p_cap), rnd(h_cap), rnd(m_cap)
 
 
@@ -312,11 +316,11 @@ def _pallas_tables(cfg: SphConfig, cid_loc, cid_ext, h_cap: int, p_cap: int,
         base = jnp.int32(-nxny)
     if loc_cells is None:
         loc_cells = (cfg.grid_nz + 2) * nxny
-    nblocks = p_cap // pt.BLANE
+    nblocks = p_cap // pt._blane(cfg)
     window = cfg.pallas_window_t
     n_pad = _pallas_ext_pad(cfg, h_cap, p_cap)
     g = cfg.pallas_groups
-    grows = pt.BLANE // g
+    grows = pt._blane(cfg) // g
     deltas = jnp.asarray([(dz * cfg.grid_ny + dy) * cfg.grid_nx
                           for dy, dz in pt._RODS], jnp.int32)
     groups = cid_loc.reshape(nblocks * g, grows)   # p_cap is 128-aligned
@@ -353,7 +357,7 @@ def _pallas_tables(cfg: SphConfig, cid_loc, cid_ext, h_cap: int, p_cap: int,
     w_len = jnp.maximum(w_end - w_start, 0)
     w_chunks = jnp.where(w_len > 0, -(-w_len // window), 0)
     # fully-dead blocks (first row >= cnt) need no physics at all
-    first_row = (jnp.arange(nblocks * g, dtype=jnp.int32) // g) * pt.BLANE
+    first_row = (jnp.arange(nblocks * g, dtype=jnp.int32) // g) * pt._blane(cfg)
     live_block = (first_row < cnt)[:, None]
     w_start = jnp.where(live_block, w_start, 0)
     w_chunks = jnp.where(live_block, w_chunks, 0)
@@ -454,11 +458,11 @@ def _pallas_sub_tables(cfg: SphConfig, cid_loc, cid_search, sub_len: int,
     if loc_cells is None:
         loc_cells = (cfg.grid_nz + 2) * nxny
     p_cap = cid_loc.shape[0]
-    nblocks = p_cap // pt.BLANE
+    nblocks = p_cap // pt._blane(cfg)
     window = cfg.pallas_window_t
     n_pad = _sub_pad(cfg, sub_len)
     g = cfg.pallas_groups
-    grows = pt.BLANE // g
+    grows = pt._blane(cfg) // g
     deltas = jnp.asarray([(dz * cfg.grid_ny + dy) * cfg.grid_nx
                           for dy, dz in pt._RODS], jnp.int32)
     groups = cid_loc.reshape(nblocks * g, grows)
@@ -477,7 +481,7 @@ def _pallas_sub_tables(cfg: SphConfig, cid_loc, cid_search, sub_len: int,
     w_start = jnp.clip(w_start & ~(pt.SUB - 1), 0, max(n_pad - window, 0))
     w_len = jnp.maximum(w_end - w_start, 0)
     w_chunks = jnp.where(w_len > 0, -(-w_len // window), 0)
-    first_row = (jnp.arange(nblocks * g, dtype=jnp.int32) // g) * pt.BLANE
+    first_row = (jnp.arange(nblocks * g, dtype=jnp.int32) // g) * pt._blane(cfg)
     live_block = (first_row < cnt)[:, None]
     w_start = jnp.where(live_block, w_start, 0)
     w_chunks = jnp.where(live_block, w_chunks, 0)
@@ -506,7 +510,7 @@ def _pallas_density_local(cfg: SphConfig, ext, cid_ext, ws, wc, h_cap: int,
     s_t = cfg.pallas_window_t
     e = ext.shape[0]
     e_pad = _pallas_ext_pad(cfg, h_cap, p_cap)
-    nblocks = p_cap // pt.BLANE
+    nblocks = p_cap // pt._blane(cfg)
     cid_f = cid_ext.astype(jnp.float32)
     # src lane = extended-frame row (the kernels' self-exclusion compares it
     # against `own`, which is offset by the halo here)
@@ -522,12 +526,12 @@ def _pallas_density_local(cfg: SphConfig, ext, cid_ext, ws, wc, h_cap: int,
     selfrows = jnp.concatenate(
         [ext[loc, 0:3], ext[loc, _MASS:_MASS + 1], cid_f[loc][:, None]],
         axis=1).T
-    first = jnp.arange(nblocks, dtype=jnp.int32) * pt.BLANE + h_cap
+    first = jnp.arange(nblocks, dtype=jnp.int32) * pt._blane(cfg) + h_cap
     ref = ext[first, 0:3].reshape(-1)
     out_specs = (
-        pl.BlockSpec((1, pt.BLANE), lambda i, *_: (0, i),
+        pl.BlockSpec((1, pt._blane(cfg)), lambda i, *_: (0, i),
                      memory_space=pt.pltpu.VMEM),
-        pl.BlockSpec((1, pt.BLANE), lambda i, *_: (0, i),
+        pl.BlockSpec((1, pt._blane(cfg)), lambda i, *_: (0, i),
                      memory_space=pt.pltpu.VMEM),
     )
     rho, nc = _slab_chunked_call(
@@ -562,15 +566,16 @@ def _slab_chunked_call(cfg, kernel, nself, s_t, h_cap, nblocks, ws, wc, ref,
         nb_c = min(MAX_BLOCKS, nblocks - base)
         sl = slice(base * G * nr, (base + nb_c) * G * nr)
         out = pl.pallas_call(
-            _partial(kernel, cfg, s_t, h_cap // pt.BLANE + base),
-            out_shape=make_out_shape(nb_c * pt.BLANE),
-            grid_spec=pt._grid_spec_t(nb_c, nself, s_t, G, out_specs),
+            _partial(kernel, cfg, s_t, h_cap // pt._blane(cfg) + base),
+            out_shape=make_out_shape(nb_c * pt._blane(cfg)),
+            grid_spec=pt._grid_spec_t(nb_c, nself, s_t, G, out_specs,
+                                      b=pt._blane(cfg)),
             interpret=cfg.pallas_interpret,
         )(ws[sl], wc[sl],
           jax.lax.dynamic_slice_in_dim(ref, base * 3, nb_c * 3),
           fields,
-          jax.lax.dynamic_slice_in_dim(selfrows, base * pt.BLANE,
-                                       nb_c * pt.BLANE, axis=1))
+          jax.lax.dynamic_slice_in_dim(selfrows, base * pt._blane(cfg),
+                                       nb_c * pt._blane(cfg), axis=1))
         parts.append(out)
     if isinstance(parts[0], (tuple, list)):
         return tuple(jnp.concatenate([p[k] for p in parts], axis=1)
@@ -591,7 +596,7 @@ def _pallas_force_local(cfg: SphConfig, ext, cid_ext, rho_e, rho_l, ws, wc,
     s_t = cfg.pallas_window_t
     e = ext.shape[0]
     e_pad = _pallas_ext_pad(cfg, h_cap, p_cap)
-    nblocks = p_cap // pt.BLANE
+    nblocks = p_cap // pt._blane(cfg)
     cid_f = cid_ext.astype(jnp.float32)
     mass_e = ext[:, _MASS]
     rhoj_inv = 1.0 / jnp.where(rho_e > 0.0, rho_e, 1.0)
@@ -612,12 +617,12 @@ def _pallas_force_local(cfg: SphConfig, ext, cid_ext, rho_e, rho_l, ws, wc,
     selfrows = jnp.concatenate(
         [ext[loc, 0:3], ext[loc, 3:6], ext[loc, _MASS:_MASS + 1],
          rho_l[:, None], cid_f[loc][:, None]], axis=1).T
-    first = jnp.arange(nblocks, dtype=jnp.int32) * pt.BLANE + h_cap
+    first = jnp.arange(nblocks, dtype=jnp.int32) * pt._blane(cfg) + h_cap
     ref = ext[first, 0:3].reshape(-1)
     acc_rows = _slab_chunked_call(
         cfg, pt._force_kernel_t, 9, s_t, h_cap, nblocks, ws, wc, ref,
         fields, selfrows,
-        pl.BlockSpec((3, pt.BLANE), lambda i, *_: (0, i),
+        pl.BlockSpec((3, pt._blane(cfg)), lambda i, *_: (0, i),
                      memory_space=pt.pltpu.VMEM),
         lambda rows: jax.ShapeDtypeStruct((3, rows), jnp.float32))
     acc = acc_rows.T
@@ -678,11 +683,11 @@ def _pallas_density_local_capped(cfg: SphConfig, ext, g8, cid_ext, ws, wc,
     selfrows = jnp.concatenate(
         [ext[loc, 0:3], ext[loc, _MASS:_MASS + 1], cid_f[loc][:, None]],
         axis=1).T
-    nblocks = p_cap // pt.BLANE
+    nblocks = p_cap // pt._blane(cfg)
     out_specs = (
-        pl.BlockSpec((1, pt.BLANE), lambda i, *_: (0, i),
+        pl.BlockSpec((1, pt._blane(cfg)), lambda i, *_: (0, i),
                      memory_space=pt.pltpu.VMEM),
-        pl.BlockSpec((1, pt.BLANE), lambda i, *_: (0, i),
+        pl.BlockSpec((1, pt._blane(cfg)), lambda i, *_: (0, i),
                      memory_space=pt.pltpu.VMEM),
     )
     rho, nc = _slab_chunked_call(
@@ -724,13 +729,13 @@ def _pallas_force_local_capped(cfg: SphConfig, ext, g8, cid_ext, rho_e, rho_l,
     selfrows = jnp.concatenate(
         [ext[loc, 0:3], ext[loc, 3:6], ext[loc, _MASS:_MASS + 1],
          rho_l[:, None], cid_f[loc][:, None]], axis=1).T
-    nblocks = p_cap // pt.BLANE
-    first = jnp.arange(nblocks, dtype=jnp.int32) * pt.BLANE + h_cap
+    nblocks = p_cap // pt._blane(cfg)
+    first = jnp.arange(nblocks, dtype=jnp.int32) * pt._blane(cfg) + h_cap
     ref = ext[first, 0:3].reshape(-1)
     acc_rows = _slab_chunked_call(
         cfg, pt._force_kernel_t, 9, cfg.pallas_window_t, h_cap, nblocks,
         ws, wc, ref, fields, selfrows,
-        pl.BlockSpec((3, pt.BLANE), lambda i, *_: (0, i),
+        pl.BlockSpec((3, pt._blane(cfg)), lambda i, *_: (0, i),
                      memory_space=pt.pltpu.VMEM),
         lambda rows: jax.ShapeDtypeStruct((3, rows), jnp.float32))
     acc = acc_rows.T
@@ -1069,7 +1074,7 @@ def _table_zeros(cfg: SphConfig, sweeps: str, ndev: int, p_cap: int,
     if sweeps == "pallas":
         from ..ops import pallas_step_t as pt
 
-        tsize = (p_cap // pt.BLANE) * cfg.pallas_groups * len(pt._RODS)
+        tsize = (p_cap // pt._blane(cfg)) * cfg.pallas_groups * len(pt._RODS)
         tabs = (jnp.zeros((ndev * tsize,), jnp.int32),
                 jnp.zeros((ndev * tsize,), jnp.int32))
         if cfg.capped_candidates:
@@ -1225,6 +1230,10 @@ def make_slab_step(cfg: SphConfig, mesh: Mesh, p_cap: int, h_cap: int,
         from ..ops import pallas_step_t as pt
 
         pt._validate(cfg)
+        if p_cap % pt._blane(cfg) or h_cap % pt._blane(cfg):
+            raise ValueError("p_cap and h_cap must be multiples of "
+                             "pallas_block_t (derive_slab_caps rounds "
+                             "accordingly)")
     if cfg.capped_candidates and sweeps == "pallas":
         e = p_cap + 2 * h_cap
         sub_len = min(sub_len or e, e)

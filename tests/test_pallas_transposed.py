@@ -42,6 +42,34 @@ def test_transposed_groups_match_oracle(groups):
     _check_against_oracle(cfg, state)
 
 
+@pytest.mark.parametrize("block", [256, 512])
+def test_transposed_wide_blocks_match_oracle(block):
+    """pallas_block_t widens the kernel grid step to 256/512 particles (union
+    rod windows, [s_t, b] vector ops, wider MXU dots) — fewer DMA
+    descriptors and per-rod fixed costs, same physics.  Both widths must
+    match the O(N^2) oracle, including a non-multiple-of-b tail block."""
+    cfg, state = make_scene("disk", num_particles=block * 3 + 64,
+                            pallas_layout="sublane", pallas_interpret=True,
+                            pallas_window_t=96, pallas_block_t=block)
+    _check_against_oracle(cfg, state)
+
+
+def test_transposed_wide_blocks_capped_matches_narrow():
+    """Capped mode with wide blocks keeps the IDENTICAL kept set (selection
+    is per cell, independent of block width), so densities must match the
+    128-block capped run bit-for-bit."""
+    kw = dict(num_particles=1024, pallas_layout="sublane",
+              pallas_interpret=True, pallas_window_t=96,
+              capped_candidates=2, cell_size_factor=2.0)
+    cfg_n, state = make_scene("disk", **kw)
+    cfg_w, _ = make_scene("disk", pallas_block_t=256, **kw)
+    _, rho_n, aux_n = pallas_step_t.compute_step_quantities(cfg_n, state)
+    _, rho_w, aux_w = pallas_step_t.compute_step_quantities(cfg_w, state)
+    np.testing.assert_array_equal(np.asarray(aux_w.neighbor_count),
+                                  np.asarray(aux_n.neighbor_count))
+    np.testing.assert_array_equal(np.asarray(rho_w), np.asarray(rho_n))
+
+
 @pytest.mark.parametrize("recip", ["recip", "approx2"])
 def test_transposed_force_recip_matches_oracle(recip):
     """force_recip swaps the per-pair 1/(d+eps) lowering (pl.reciprocal,

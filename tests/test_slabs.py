@@ -161,6 +161,65 @@ def test_slab_pallas_sweeps_match_celllist_sweeps():
     assert int(gd.migration_dropped) == 0
 
 
+def test_slab_pallas_wide_blocks_match_celllist():
+    """pallas_block_t=256 inside the slab engine (wider kernel grid steps,
+    b-multiple caps): physics must match the celllist slab path, capped mode
+    included (the capped kept set is block-width independent)."""
+    steps = 2
+    kw = dict(pallas_interpret=True, pallas_window_t=64, pallas_block_t=256,
+              capped_candidates=0)
+    cfg, state = _scene(**kw)
+    mesh = make_mesh(8)
+    p_cap, h_cap, m_cap = slabs.derive_slab_caps(cfg, state, 8)
+    assert p_cap % 256 == 0 and h_cap % 256 == 0
+
+    carries = {}
+    for eng in ("celllist", "pallas"):
+        carry = slabs.distribute(cfg, state, mesh, p_cap)
+        f = slabs.make_slab_step(cfg, mesh, p_cap, h_cap, m_cap,
+                                 donate=False, sweeps=eng)
+        for _ in range(steps):
+            carry, diag = f(carry)
+        carries[eng] = (slabs.collect(carry, cfg.num_particles), diag)
+
+    got, gd = carries["pallas"]
+    ref, rd = carries["celllist"]
+    np.testing.assert_allclose(np.asarray(got.position),
+                               np.asarray(ref.position),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(float(gd.neighbor_mean),
+                               float(rd.neighbor_mean), rtol=1e-6)
+    assert int(gd.migration_dropped) == 0
+
+
+def test_slab_capped_wide_blocks_match_narrow():
+    """Capped slab sweeps at pallas_block_t=256 keep the identical kept set
+    and pair mask as 128 — densities and positions must agree to f32
+    round-off across block widths."""
+    steps = 2
+    base = dict(pallas_interpret=True, pallas_window_t=64,
+                capped_candidates=2)
+    mesh = make_mesh(8)
+    outs = {}
+    for b in (128, 256):
+        cfg, state = _scene(pallas_block_t=b, **base)
+        p_cap, h_cap, m_cap = slabs.derive_slab_caps(cfg, state, 8)
+        carry = slabs.distribute(cfg, state, mesh, p_cap)
+        f = slabs.make_slab_step(cfg, mesh, p_cap, h_cap, m_cap,
+                                 donate=False, sweeps="pallas")
+        for _ in range(steps):
+            carry, diag = f(carry)
+        outs[b] = (slabs.collect(carry, cfg.num_particles), diag)
+    got, gd = outs[256]
+    ref, rd = outs[128]
+    np.testing.assert_allclose(np.asarray(got.position),
+                               np.asarray(ref.position),
+                               rtol=1e-6, atol=1e-7)
+    assert int(gd.migration_dropped) == 0
+    np.testing.assert_allclose(float(gd.neighbor_mean),
+                               float(rd.neighbor_mean), rtol=1e-6)
+
+
 def test_multi_slab_hop_is_delivered():
     """A particle moving MORE than one slab between rebins is routed hop by
     hop to its destination (uniform while_loop) — nothing dropped, nothing

@@ -30,6 +30,10 @@ VARIANTS = [
     ("fused_kdk", {"fused_kdk": True}),
     ("force_recip", {"force_recip": "recip"}),
     ("fused+recip", {"fused_kdk": True, "force_recip": "recip"}),
+    # r4: wider kernel blocks — fewer DMA descriptors / per-rod fixed costs
+    # for ~35% more cheap union-window lanes (PERFORMANCE.md r4 #32)
+    ("block256", {"pallas_block_t": 256}),
+    ("block512", {"pallas_block_t": 512}),
 ]
 
 SETTLE = 10
