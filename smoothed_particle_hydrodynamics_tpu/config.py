@@ -115,6 +115,18 @@ class SphConfig:
     # select ops for near-G-fold fewer swept rows (block extent dominates
     # window length)
     pallas_groups: int = 1
+    # rods per block: 9 = the classic 3y x 3z rod set (each rod x-merged to
+    # one contiguous cid range); 3 = one MERGED rod per dz that spans all
+    # three y-neighbor rows in a single [c0-nx-1, c1+nx+1] window.  At 1M a
+    # 256-wide block's sorted extent covers several x-rows of cells, so the
+    # three y-rods at one dz OVERLAP heavily and are swept redundantly —
+    # merging them cuts per-(block,rod) fixed cost + DMA descriptors 3x and
+    # the swept rows ~2x on the overhead-bound sweeps (docs/PERFORMANCE.md
+    # r4 #32).  Dedup/geometry stays exact: the in-kernel rod mask accepts a
+    # pair iff its cid delta decomposes as q*nx + r with |q| <= 1, |r| <= 1
+    # (the same 27-cell neighborhood as 9 rods).  Sparse/small scenes where
+    # a block spans < nx cells sweep extra in-between rows — keep 9 there.
+    pallas_rods: int = 9
     # --- capped candidates (the reference's "Subsets" optimization) ----------
     # The reference bounds pair work by stochastically subsampling neighbors
     # (/root/reference/src/sph.cpp:98,590-598,679-682; README.md:267-268

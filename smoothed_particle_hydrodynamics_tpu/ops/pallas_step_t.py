@@ -73,6 +73,52 @@ def _blane(cfg: SphConfig) -> int:
     return getattr(cfg, "pallas_block_t", BLANE) or BLANE
 
 
+def _rods_t(cfg: SphConfig):
+    """The rod set: 9 classic (dy, dz) rods, or 3 y-merged rods (one per dz).
+
+    A merged rod's window spans [first_cell + dz*nx*ny - nx - 1,
+    last_cell + dz*nx*ny + nx + 1] — all three y-neighbor rows at that dz in
+    ONE contiguous slab copy.  When the block's sorted cid extent exceeds nx
+    (1M-scale scenes), the three y-rods overlap pairwise, so the merged
+    window sweeps FEWER total rows and one third the (block, rod) visits —
+    the quantity the overhead-bound capped sweeps actually pay for
+    (docs/PERFORMANCE.md r4 #32)."""
+    if getattr(cfg, "pallas_rods", 9) == 3:
+        return [(0, dz) for dz in (-1, 0, 1)]
+    return _RODS
+
+
+def _nrods(cfg: SphConfig) -> int:
+    return len(_rods_t(cfg))
+
+
+def _rod_pad(cfg: SphConfig) -> int:
+    """Window half-extent beyond the block's own cid range, in cells."""
+    return cfg.grid_nx + 1 if _nrods(cfg) == 3 else 1
+
+
+def _rod_deltas_t(cfg: SphConfig):
+    return [float((dz * cfg.grid_ny + dy) * cfg.grid_nx)
+            for dy, dz in _rods_t(cfg)]
+
+
+def _rod_ok_t(cfg: SphConfig, dc, delta_r: float):
+    """Pair gate on the cell-id delta ``dc`` for rod ``delta_r``.
+
+    9 rods: |dc - delta| <= 1 (the rod's own row, x-merged).  3 merged rods:
+    decompose e = dc - dz*nx*ny as q*nx + r and accept iff |q| <= 1 and
+    |r| <= 1 — exactly the 27-cell neighborhood, computed in f32 (cell ids
+    and nx-multiples are integers < 2^24, so every step is exact; the
+    rounding of e/nx only has to pick the right q for |r| <= 1 candidates,
+    where e/nx is within 1/nx of an integer)."""
+    if _nrods(cfg) == 9:
+        return jnp.abs(dc - _f32(delta_r)) <= 1.0
+    e = dc - _f32(delta_r)
+    nx = _f32(cfg.grid_nx)
+    q = jnp.round(e * (1.0 / nx))
+    return (jnp.abs(q) <= 1.0) & (jnp.abs(e - q * nx) <= 1.0)
+
+
 def _block_windows_t(cfg: SphConfig, cid_sorted, nblocks: int,
                      window: int, n: int, n_pad: int, cid_search=None):
     """Per (block, group, rod): tight 8-aligned window start + chunk count.
@@ -80,7 +126,7 @@ def _block_windows_t(cfg: SphConfig, cid_sorted, nblocks: int,
     A block's 128 lanes are split into ``cfg.pallas_groups`` spatial GROUPS of
     consecutive sorted particles, each with its own (smaller) rod windows —
     the windows shrink by nearly the group factor because the block's own
-    sorted extent dominates window length.  Returns [nblocks * G * 9] tables
+    sorted extent dominates window length.  Returns [nblocks * G * nrods]
     flattened in (block, group, rod) order.
 
     ``cid_search`` (default: ``cid_sorted``) is the sorted cid array the
@@ -102,13 +148,14 @@ def _block_windows_t(cfg: SphConfig, cid_sorted, nblocks: int,
     b = _blane(cfg)
     grows = b // g
     deltas = jnp.asarray([(dz * cfg.grid_ny + dy) * cfg.grid_nx
-                          for dy, dz in _RODS], jnp.int32)
+                          for dy, dz in _rods_t(cfg)], jnp.int32)
+    rpad = _rod_pad(cfg)
     pad = nblocks * b - n
     cid_p = jnp.pad(cid_sorted, (0, pad), constant_values=cfg.num_cells - 1)
     groups = cid_p.reshape(nblocks * g, grows)
-    lo_cell = jnp.clip(groups[:, 0][:, None] + deltas[None, :] - 1,
+    lo_cell = jnp.clip(groups[:, 0][:, None] + deltas[None, :] - rpad,
                        0, cfg.num_cells - 1)
-    hi_cell = jnp.clip(groups[:, -1][:, None] + deltas[None, :] + 1,
+    hi_cell = jnp.clip(groups[:, -1][:, None] + deltas[None, :] + rpad,
                        0, cfg.num_cells - 1)
     # bincount + cumsum + one stacked gather: same results as the previous
     # left/right searchsorted pair, measured 18 vs 27 ms at 1M / 2M cells.
@@ -166,7 +213,7 @@ def _sweep_body_t(cfg, s_t, block_base,
     b = _blane(cfg)
     i = pl.program_id(0)
     nblocks = pl.num_programs(0)
-    nranges = len(_RODS)
+    nranges = _nrods(cfg)
     iota_sub = jax.lax.broadcasted_iota(jnp.int32, (s_t, 1), 0)
     own = ((block_base + i) * b
            + jax.lax.broadcasted_iota(jnp.int32, (1, b), 1))
@@ -263,7 +310,7 @@ def _density_kernel_t(cfg: SphConfig, s_t: int, block_base: int,
                       ws_ref, wc_ref, ref_ref, fields_hbm, self_ref,
                       rho_ref, ncount_ref, cand, sem):
     h2 = _f32(cfg.h2)
-    deltas = _rod_deltas(cfg)
+    deltas = _rod_deltas_t(cfg)
     xi = self_ref[0:1, :]
     yi = self_ref[1:2, :]
     zi = self_ref[2:3, :]
@@ -278,7 +325,7 @@ def _density_kernel_t(cfg: SphConfig, s_t: int, block_base: int,
         dz = _merge_cols(tiles, masks, 2) - zi
         d2 = dx * dx + dy * dy + dz * dz                   # unscaled
         dc = _merge_cols(tiles, masks, 3) - cid_i
-        rod_ok = jnp.abs(dc - _f32(deltas[r])) <= 1.0
+        rod_ok = _rod_ok_t(cfg, dc, deltas[r])
         if cfg.capped_candidates:
             # subsampled candidate frame: window row != particle row, so
             # self-exclusion compares the src lane
@@ -327,7 +374,7 @@ def _force_kernel_t(cfg: SphConfig, s_t: int, block_base: int,
     eps = _f32(cfg.pressure_softening)
     k = _f32(cfg.stiffness)
     rho0 = _f32(cfg.rho0)
-    deltas = _rod_deltas(cfg)
+    deltas = _rod_deltas_t(cfg)
 
     i = pl.program_id(0)
     rx = ref_ref[i * 3 + 0]
@@ -360,7 +407,7 @@ def _force_kernel_t(cfg: SphConfig, s_t: int, block_base: int,
         dz = _merge_cols(tiles, masks, 2) - zi
         d2u = dx * dx + dy * dy + dz * dz                  # unscaled, exact
         dc = _merge_cols(tiles, masks, 8) - cid_i
-        rod_ok = jnp.abs(dc - _f32(deltas[r])) <= 1.0
+        rod_ok = _rod_ok_t(cfg, dc, deltas[r])
         if cfg.capped_candidates:
             not_self = _merge_cols(tiles, masks, 11) != own.astype(jnp.float32)
         else:
@@ -453,7 +500,7 @@ def _force_kernel_t(cfg: SphConfig, s_t: int, block_base: int,
 # ---------------------------------------------------------------------------
 
 def _grid_spec_t(nblocks: int, nself: int, s_t: int, groups: int, out_specs,
-                 b: int = BLANE):
+                 b: int = BLANE, nr: int = len(_RODS)):
     return pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,                             # ws, wc (i32), ref (f32)
         grid=(nblocks,),
@@ -465,8 +512,8 @@ def _grid_spec_t(nblocks: int, nself: int, s_t: int, groups: int, out_specs,
         out_specs=out_specs,
         scratch_shapes=[
             # slots 0/1 = block pipeline; slot 2 = multi-chunk tails
-            pltpu.VMEM((3, len(_RODS), groups, s_t, LANE), jnp.float32),
-            pltpu.SemaphoreType.DMA((3, len(_RODS), groups)),
+            pltpu.VMEM((3, nr, groups, s_t, LANE), jnp.float32),
+            pltpu.SemaphoreType.DMA((3, nr, groups)),
         ],
     )
 
@@ -520,6 +567,11 @@ def _validate(cfg: SphConfig) -> None:
                          "(a multiple of the 128-lane tile)")
     if cfg.capped_candidates and cfg.pallas_groups != 1:
         raise ValueError("capped_candidates currently requires pallas_groups=1")
+    if getattr(cfg, "pallas_rods", 9) not in (9, 3):
+        raise ValueError("pallas_rods must be 9 or 3")
+    if getattr(cfg, "pallas_rods", 9) == 3 and cfg.grid_nx < 5:
+        # the q*nx + r delta decomposition needs |r| <= 1 to be unambiguous
+        raise ValueError("pallas_rods=3 requires grid_nx >= 5")
     if cfg.capped_candidates and cfg.num_particles > 1 << 24:
         # the self-exclusion lane compares source ROW ids carried as f32
         # (see the src_f candidate column); beyond 2^24 rows they round and
@@ -619,14 +671,15 @@ def derive_window_t(cfg: SphConfig, state: ParticleState,
     grows = _blane(cfg) // g
     cid = np.sort(np.asarray(linear_cell_id(cfg, cell_coords(cfg, state.position))))
     deltas = np.asarray([(dz * cfg.grid_ny + dy) * cfg.grid_nx
-                         for dy, dz in _RODS])
+                         for dy, dz in _rods_t(cfg)])
+    rpad = _rod_pad(cfg)
     ngroups = -(-n // grows)
     cid_p = np.pad(cid, (0, ngroups * grows - n),
                    constant_values=cfg.num_cells - 1)
     groups = cid_p.reshape(ngroups, grows)
-    lo = np.clip(groups[:, 0][:, None] + deltas[None, :] - 1,
+    lo = np.clip(groups[:, 0][:, None] + deltas[None, :] - rpad,
                  0, cfg.num_cells - 1)
-    hi = np.clip(groups[:, -1][:, None] + deltas[None, :] + 1,
+    hi = np.clip(groups[:, -1][:, None] + deltas[None, :] + rpad,
                  0, cfg.num_cells - 1)
     if cfg.capped_candidates:
         # windows index the SUBSAMPLED candidate array: replay the per-cell
@@ -749,18 +802,19 @@ def _run_chunked(cfg, p: PreparedT, kernel, cand_cols, self_cols,
     n_pad = _n_pad(cfg, n)
     nblocks = -(-n // b)
     pad_rows = nblocks * b - n
-    MAX_BLOCKS = (256 << 10) // (len(_RODS) * G * 4)
+    nr = _nrods(cfg)
+    MAX_BLOCKS = (256 << 10) // (nr * G * 4)
     fields = _pad_rows(cand_cols, n_pad, LANE)             # [n_pad, 128]
     selfrows = jnp.pad(self_cols.T, ((0, 0), (0, pad_rows)))
     parts = []
     for base in range(0, nblocks, MAX_BLOCKS):
         nb_c = min(MAX_BLOCKS, nblocks - base)
-        sl = slice(base * G * len(_RODS), (base + nb_c) * G * len(_RODS))
+        sl = slice(base * G * nr, (base + nb_c) * G * nr)
         out = pl.pallas_call(
             partial(kernel, cfg, s_t, base),
             out_shape=make_out_shape(nb_c * b),
             grid_spec=_grid_spec_t(nb_c, self_cols.shape[1], s_t, G,
-                                   out_specs, b=b),
+                                   out_specs, b=b, nr=nr),
             interpret=cfg.pallas_interpret,
         )(p.ws[sl], p.wc[sl],
           jax.lax.dynamic_slice_in_dim(p.ref, base * 3, nb_c * 3),

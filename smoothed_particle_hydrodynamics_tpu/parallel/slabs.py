@@ -322,11 +322,12 @@ def _pallas_tables(cfg: SphConfig, cid_loc, cid_ext, h_cap: int, p_cap: int,
     g = cfg.pallas_groups
     grows = pt._blane(cfg) // g
     deltas = jnp.asarray([(dz * cfg.grid_ny + dy) * cfg.grid_nx
-                          for dy, dz in pt._RODS], jnp.int32)
+                          for dy, dz in pt._rods_t(cfg)], jnp.int32)
+    rpad = pt._rod_pad(cfg)
     groups = cid_loc.reshape(nblocks * g, grows)   # p_cap is 128-aligned
-    lo_cell = jnp.clip(groups[:, 0][:, None] + deltas[None, :] - 1,
+    lo_cell = jnp.clip(groups[:, 0][:, None] + deltas[None, :] - rpad,
                        0, cfg.num_cells - 1)
-    hi_cell = jnp.clip(groups[:, -1][:, None] + deltas[None, :] + 1,
+    hi_cell = jnp.clip(groups[:, -1][:, None] + deltas[None, :] + rpad,
                        0, cfg.num_cells - 1)
     e = cid_ext.shape[0]
     n_dead = (p_cap - cnt).astype(jnp.int32)
@@ -464,11 +465,12 @@ def _pallas_sub_tables(cfg: SphConfig, cid_loc, cid_search, sub_len: int,
     g = cfg.pallas_groups
     grows = pt._blane(cfg) // g
     deltas = jnp.asarray([(dz * cfg.grid_ny + dy) * cfg.grid_nx
-                          for dy, dz in pt._RODS], jnp.int32)
+                          for dy, dz in pt._rods_t(cfg)], jnp.int32)
+    rpad = pt._rod_pad(cfg)
     groups = cid_loc.reshape(nblocks * g, grows)
-    lo_cell = jnp.clip(groups[:, 0][:, None] + deltas[None, :] - 1,
+    lo_cell = jnp.clip(groups[:, 0][:, None] + deltas[None, :] - rpad,
                        0, cfg.num_cells - 1)
-    hi_cell = jnp.clip(groups[:, -1][:, None] + deltas[None, :] + 1,
+    hi_cell = jnp.clip(groups[:, -1][:, None] + deltas[None, :] + rpad,
                        0, cfg.num_cells - 1)
     # non-kept rows carry cid_search = num_cells >= base + loc_cells -> the
     # sentinel bucket; kept rows are all queryable, i.e. in-range
@@ -559,7 +561,7 @@ def _slab_chunked_call(cfg, kernel, nself, s_t, h_cap, nblocks, ws, wc, ref,
     from ..ops import pallas_step_t as pt
 
     G = cfg.pallas_groups
-    nr = len(pt._RODS)
+    nr = pt._nrods(cfg)
     MAX_BLOCKS = (256 << 10) // (nr * G * 4)
     parts = []
     for base in range(0, nblocks, MAX_BLOCKS):
@@ -569,7 +571,7 @@ def _slab_chunked_call(cfg, kernel, nself, s_t, h_cap, nblocks, ws, wc, ref,
             _partial(kernel, cfg, s_t, h_cap // pt._blane(cfg) + base),
             out_shape=make_out_shape(nb_c * pt._blane(cfg)),
             grid_spec=pt._grid_spec_t(nb_c, nself, s_t, G, out_specs,
-                                      b=pt._blane(cfg)),
+                                      b=pt._blane(cfg), nr=nr),
             interpret=cfg.pallas_interpret,
         )(ws[sl], wc[sl],
           jax.lax.dynamic_slice_in_dim(ref, base * 3, nb_c * 3),
@@ -1074,7 +1076,7 @@ def _table_zeros(cfg: SphConfig, sweeps: str, ndev: int, p_cap: int,
     if sweeps == "pallas":
         from ..ops import pallas_step_t as pt
 
-        tsize = (p_cap // pt._blane(cfg)) * cfg.pallas_groups * len(pt._RODS)
+        tsize = (p_cap // pt._blane(cfg)) * cfg.pallas_groups * pt._nrods(cfg)
         tabs = (jnp.zeros((ndev * tsize,), jnp.int32),
                 jnp.zeros((ndev * tsize,), jnp.int32))
         if cfg.capped_candidates:

@@ -649,3 +649,32 @@ def test_plane_local_window_tables_cover_candidates_mid_slab():
             end = ws[b, r] + wc[b, r] * window
             assert ws[b, r] <= first, (b, r, ws[b, r], first)
             assert end > last, (b, r, end, last)
+
+
+def test_slab_pallas_merged_rods_match_celllist():
+    """pallas_rods=3 inside the slab engine: the plane-local window builders
+    pad windows by nx+1 and the kernels gate by the q*nx+r delta
+    decomposition — physics must match the celllist slab path."""
+    steps = 2
+    kw = dict(pallas_interpret=True, pallas_window_t=64, pallas_rods=3)
+    cfg, state = _scene(**kw)
+    mesh = make_mesh(8)
+    p_cap, h_cap, m_cap = slabs.derive_slab_caps(cfg, state, 8)
+
+    carries = {}
+    for eng in ("celllist", "pallas"):
+        carry = slabs.distribute(cfg, state, mesh, p_cap)
+        f = slabs.make_slab_step(cfg, mesh, p_cap, h_cap, m_cap,
+                                 donate=False, sweeps=eng)
+        for _ in range(steps):
+            carry, diag = f(carry)
+        carries[eng] = (slabs.collect(carry, cfg.num_particles), diag)
+
+    got, gd = carries["pallas"]
+    ref, rd = carries["celllist"]
+    np.testing.assert_allclose(np.asarray(got.position),
+                               np.asarray(ref.position),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(float(gd.neighbor_mean),
+                               float(rd.neighbor_mean), rtol=1e-6)
+    assert int(gd.migration_dropped) == 0

@@ -34,6 +34,12 @@ VARIANTS = [
     # for ~35% more cheap union-window lanes (PERFORMANCE.md r4 #32)
     ("block256", {"pallas_block_t": 256}),
     ("block512", {"pallas_block_t": 512}),
+    # r4 session 2: one merged y-rod per dz (3 rods) — a third the
+    # per-(block,rod) fixed cost + descriptors, ~half the swept rows when
+    # block extent > nx cells (config.py pallas_rods)
+    ("rods3", {"pallas_rods": 3}),
+    ("block256+rods3", {"pallas_block_t": 256, "pallas_rods": 3}),
+    ("block512+rods3", {"pallas_block_t": 512, "pallas_rods": 3}),
 ]
 
 SETTLE = 10
