@@ -12,8 +12,9 @@ printed AND FLUSHED the moment it is measured; every subsequent enrichment
 (parity block, auxiliary rows) re-prints the full line.  Any kill point
 after the headline therefore still leaves a parseable record.  Auxiliary
 rows run in fresh subprocesses whose timeout is capped at the REMAINING
-budget; a failed/timed-out row is recorded in ``failed_rows`` and skipped —
-there is no unbudgeted in-process fallback.
+budget; a failed/timed-out row is recorded in ``failed_rows`` as a
+``{row, rc, tail}`` autopsy and skipped — there is no unbudgeted in-process
+fallback.
 
 Usage: python bench.py [--scene SCENE] [-n N] [--steps STEPS] [--backend B]
 """
@@ -34,7 +35,7 @@ def _emit(line: dict) -> None:
     print(json.dumps(line), flush=True)
 
 
-def _run_row(row: str, args, timeout_s: float) -> dict | None:
+def _run_row(row: str, args, timeout_s: float) -> tuple[dict | None, dict]:
     """Run one auxiliary bench row in a FRESH subprocess.
 
     Measured: rows run in-process after the headline read 10-15% slower
@@ -42,10 +43,17 @@ def _run_row(row: str, args, timeout_s: float) -> dict | None:
     earlier rows).  Subprocess isolation keeps every recorded row at its
     reproducible standalone cost AND bounds its wall-clock (the kill is a
     real SIGKILL, unlike an in-process row which cannot be interrupted).
-    Returns None on any failure; the caller records the row as failed.
+
+    Returns (parsed_row_or_None, autopsy).  On failure the autopsy carries
+    {row, rc, tail} so the artifact is self-diagnosing (VERDICT r4 weak #1:
+    a bare name in failed_rows made the r4 slab_1dev failure — which turned
+    out to be simple budget exhaustion — undiagnosable from the record).
     """
+    autopsy = {"row": row}
     if timeout_s <= 30:
-        return None
+        autopsy["rc"] = None
+        autopsy["tail"] = f"not launched: {timeout_s:.0f}s left < 30s floor"
+        return None, autopsy
     cmd = [sys.executable, os.path.abspath(__file__), "--row", row,
            "--scene", args.scene, "-n", str(args.num_particles),
            "--steps", str(args.steps), "--warmup", str(args.warmup),
@@ -55,9 +63,17 @@ def _run_row(row: str, args, timeout_s: float) -> dict | None:
     try:
         out = subprocess.run(cmd, capture_output=True, text=True,
                              timeout=timeout_s)
-        return json.loads(out.stdout.strip().splitlines()[-1])
-    except Exception:
-        return None
+        autopsy["rc"] = out.returncode
+        autopsy["tail"] = (out.stderr or "")[-400:]
+        return json.loads(out.stdout.strip().splitlines()[-1]), autopsy
+    except subprocess.TimeoutExpired:
+        autopsy["rc"] = "timeout"
+        autopsy["tail"] = f"killed at {timeout_s:.0f}s (remaining budget)"
+        return None, autopsy
+    except Exception as e:  # noqa: BLE001 - json/empty-stdout failures
+        autopsy.setdefault("rc", None)
+        autopsy["tail"] = (autopsy.get("tail") or repr(e))[-400:]
+        return None, autopsy
 
 
 def _compute_row(row: str, args) -> dict:
@@ -73,18 +89,31 @@ def _compute_row(row: str, args) -> dict:
         # sheet (at 125k: 2 particle layers, window 504 vs 64) and
         # mis-measures the per-chip constant ~3x pessimistic
         base["grid_nz"] = args.grid_nz
-    if row in ("capped_k4", "capped_k4_steady"):
+    if row in ("capped_k4", "capped_k4_steady", "capped_k4_both"):
         # "steady": settle past the violent early-splash phase (rebins
         # ~every step there) so the drift skin amortizes the rebuild the
-        # way production runs see it
+        # way production runs see it.  "both" measures the protocol row and
+        # the steady row in ONE process (same compile — saves a whole
+        # subprocess compile, ~2 min of driver budget).
+        ov = dict(base, capped_candidates=4, pallas_window_t=0,
+                  pallas_block_t=256)
+        keys = ("value", "ms_per_step", "steps")
+        if row == "capped_k4_both":
+            r1 = run_benchmark(scene=args.scene, backend="pallas",
+                               steps=steps, warmup=args.warmup,
+                               overrides=ov, lazy=True)
+            # continue from a fresh settle: protocol warmup 5 + the 16
+            # measured steps already advanced the state past step 20, so a
+            # further short measure IS the steady regime
+            r2 = run_benchmark(scene=args.scene, backend="pallas",
+                               steps=steps, warmup=max(args.warmup, 20),
+                               overrides=ov, lazy=True)
+            return {"capped_k4": {k: r1[k] for k in keys},
+                    "capped_k4_steady": {k: r2[k] for k in keys}}
         warm = args.warmup if row == "capped_k4" else max(args.warmup, 20)
         r = run_benchmark(scene=args.scene, backend="pallas", steps=steps,
-                          warmup=warm,
-                          overrides=dict(base, capped_candidates=4,
-                                         pallas_window_t=0,
-                                         pallas_block_t=256),
-                          lazy=True)
-        return {k: r[k] for k in ("value", "ms_per_step", "steps")}
+                          warmup=warm, overrides=ov, lazy=True)
+        return {k: r[k] for k in keys}
     if row == "capped_k4_10m":
         # 10x the headline size on ONE chip: the 1M step carries ~25 ms of
         # per-dispatch/small-op floor that amortizes away at 10M, so this is
@@ -211,25 +240,27 @@ def main() -> int:
 
     on_tpu = jax.devices()[0].platform.lower() != "cpu"
     args.slab_sweeps = "pallas" if backend == "pallas" else "celllist"
-    # ordered by value to the record: the budget guard skips from the TAIL
+    # ordered by value to the record: the budget guard skips from the TAIL.
+    # slab_1dev runs FIRST — it was the only row never driver-recorded
+    # through r4 (failed there on budget exhaustion; standalone it takes
+    # ~150 s and reads 112 ms/step).
     rows = []
     capped_ok = not args.no_capped and backend == "pallas" and on_tpu
-    if capped_ok:
-        # the reference's "Subsets" strategy as a first-class speed dial:
-        # K_c=4 per cell, mass-reweighted (density mean-unbiased, measured
-        # rel-L2 noise ~0.36 vs the exact sweep — docs/PERFORMANCE.md r3)
-        rows.append("capped_k4")
     if not args.no_slab and on_tpu:
+        # per-chip constant of the DISTRIBUTED path (1-device mesh, real
+        # chip): grounds the multi-chip scale-out claim with a measured datum
+        rows.append("slab_1dev")
         if capped_ok:
             # best measured per-chip point: the distributed engine running
             # the capped K_c=4 sweeps — the number the multi-chip scale-out
             # projection multiplies
             rows.append("slab_capped_k4")
-        # per-chip constant of the DISTRIBUTED path (1-device mesh, real
-        # chip): grounds the multi-chip scale-out claim with a measured datum
-        rows.append("slab_1dev")
     if capped_ok:
-        rows.append("capped_k4_steady")
+        # the reference's "Subsets" strategy as a first-class speed dial:
+        # K_c=4 per cell, mass-reweighted (density mean-unbiased, measured
+        # rel-L2 noise ~0.36 vs the exact sweep — docs/PERFORMANCE.md r3);
+        # protocol + steady measured in one subprocess (shared compile)
+        rows.append("capped_k4_both")
         if args.with_10m and args.num_particles >= 1_000_000:
             rows.append("capped_k4_10m")
     for row in rows:
@@ -238,9 +269,11 @@ def main() -> int:
             line.setdefault("skipped_rows", []).append(row)
             _emit(line)
             continue
-        out = _run_row(row, args, timeout_s=left)
+        out, autopsy = _run_row(row, args, timeout_s=left)
         if out is None:
-            line.setdefault("failed_rows", []).append(row)
+            line.setdefault("failed_rows", []).append(autopsy)
+        elif row == "capped_k4_both":
+            line.update(out)
         else:
             line[row] = out
         _emit(line)

@@ -500,7 +500,10 @@ def _force_kernel_t(cfg: SphConfig, s_t: int, block_base: int,
 # ---------------------------------------------------------------------------
 
 def _grid_spec_t(nblocks: int, nself: int, s_t: int, groups: int, out_specs,
-                 b: int = BLANE, nr: int = len(_RODS)):
+                 b: int, nr: int):
+    # b/nr are required (no defaults): a call site that forgot nr under
+    # pallas_rods=3 would silently over-allocate 3x the VMEM candidate
+    # scratch; thread _nrods(cfg) through explicitly.
     return pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,                             # ws, wc (i32), ref (f32)
         grid=(nblocks,),

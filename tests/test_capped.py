@@ -19,6 +19,11 @@ import jax
 from smoothed_particle_hydrodynamics_tpu.models import make_scene
 from smoothed_particle_hydrodynamics_tpu.ops import pairwise, pallas_step_t
 
+# End-to-end / compiled-kernel tests: minutes each on the virtual CPU
+# mesh.  Excluded from the default lane (pyproject addopts -m "not slow");
+# run the full lane with:  pytest -q -m ""  (see README Testing).
+pytestmark = pytest.mark.slow
+
 
 def _dense_scene(**kw):
     base = dict(num_particles=2048, grid_nx=16, grid_ny=16, grid_nz=16,

@@ -7,6 +7,11 @@ import pytest
 
 from smoothed_particle_hydrodynamics_tpu.cli import main
 
+# End-to-end / compiled-kernel tests: minutes each on the virtual CPU
+# mesh.  Excluded from the default lane (pyproject addopts -m "not slow");
+# run the full lane with:  pytest -q -m ""  (see README Testing).
+pytestmark = pytest.mark.slow
+
 
 def test_info():
     assert main(["info", "--scene", "disk", "-n", "512"]) == 0

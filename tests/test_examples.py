@@ -11,6 +11,11 @@ import sys
 
 import pytest
 
+# End-to-end / compiled-kernel tests: minutes each on the virtual CPU
+# mesh.  Excluded from the default lane (pyproject addopts -m "not slow");
+# run the full lane with:  pytest -q -m ""  (see README Testing).
+pytestmark = pytest.mark.slow
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 EXAMPLES = os.path.join(REPO, "examples")
 

@@ -17,6 +17,11 @@ from smoothed_particle_hydrodynamics_tpu.models import make_scene
 from smoothed_particle_hydrodynamics_tpu.ops import lazy
 from smoothed_particle_hydrodynamics_tpu.ops.step import step
 
+# End-to-end / compiled-kernel tests: minutes each on the virtual CPU
+# mesh.  Excluded from the default lane (pyproject addopts -m "not slow");
+# run the full lane with:  pytest -q -m ""  (see README Testing).
+pytestmark = pytest.mark.slow
+
 
 def _scene(**kw):
     base = dict(num_particles=768, pallas_layout="sublane",

@@ -13,6 +13,11 @@ import pytest
 from smoothed_particle_hydrodynamics_tpu.models import make_scene
 from smoothed_particle_hydrodynamics_tpu.ops import celllist, pallas_step
 
+# End-to-end / compiled-kernel tests: minutes each on the virtual CPU
+# mesh.  Excluded from the default lane (pyproject addopts -m "not slow");
+# run the full lane with:  pytest -q -m ""  (see README Testing).
+pytestmark = pytest.mark.slow
+
 
 def make_case(n=1024, **kw):
     kw.setdefault("pallas_interpret", True)

@@ -11,6 +11,11 @@ from smoothed_particle_hydrodynamics_tpu.ops.integrate import kdk_integrate
 from smoothed_particle_hydrodynamics_tpu.ops.pallas_kdk import (
     kdk_integrate_fused)
 
+# End-to-end / compiled-kernel tests: minutes each on the virtual CPU
+# mesh.  Excluded from the default lane (pyproject addopts -m "not slow");
+# run the full lane with:  pytest -q -m ""  (see README Testing).
+pytestmark = pytest.mark.slow
+
 
 @pytest.mark.parametrize("scene,kw", [
     ("splash", {}),                                  # reflect, no central mass

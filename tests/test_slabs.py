@@ -6,6 +6,8 @@ path per particle id, (2) per-device memory is O(N/D + caps) by construction
 misses are counted in diagnostics, never silent.
 """
 
+import pytest
+
 from functools import partial
 
 import jax
@@ -16,6 +18,11 @@ from smoothed_particle_hydrodynamics_tpu.models import make_scene
 from smoothed_particle_hydrodynamics_tpu.ops.step import step
 from smoothed_particle_hydrodynamics_tpu.parallel import slabs
 from smoothed_particle_hydrodynamics_tpu.parallel.sharding import make_mesh
+
+# End-to-end / compiled-kernel tests: minutes each on the virtual CPU
+# mesh.  Excluded from the default lane (pyproject addopts -m "not slow");
+# run the full lane with:  pytest -q -m ""  (see README Testing).
+pytestmark = pytest.mark.slow
 
 
 def _scene(n=4096, **kw):
