@@ -60,6 +60,8 @@ def _run_row(row: str, args, timeout_s: float) -> tuple[dict | None, dict]:
            "--slab-sweeps", args.slab_sweeps,
            "--grid-nz", str(args.grid_nz),
            "--scan-block", str(args.scan_block)]
+    for kv in args.ov or []:
+        cmd += ["--ov", kv]
     try:
         out = subprocess.run(cmd, capture_output=True, text=True,
                              timeout=timeout_s)
@@ -82,6 +84,20 @@ def _compute_row(row: str, args) -> dict:
 
     steps = max(args.steps // 3, 10)
     base = {"cell_size_factor": 1.25, "num_particles": args.num_particles}
+    # --ov k=v dial overrides (A/B harnesses); ints where they parse.
+    # Applied LAST (ov wins over the row's own dial defaults).
+    ov_extra = {}
+    for kv in args.ov or []:
+        k, _, v = kv.partition("=")
+        try:
+            ov_extra[k] = int(v)
+        except ValueError:
+            ov_extra[k] = float(v) if "." in v else v
+
+    def dct(*a, **kw):
+        d = dict(*a, **kw)
+        d.update(ov_extra)
+        return d
     if args.grid_nz:
         # slab-proxy geometry (tools/scale_projection.py): an N/D z-slab of
         # a D-chip run keeps the full pool depth over 1/D of the z-extent;
@@ -95,7 +111,7 @@ def _compute_row(row: str, args) -> dict:
         # way production runs see it.  "both" measures the protocol row and
         # the steady row in ONE process (same compile — saves a whole
         # subprocess compile, ~2 min of driver budget).
-        ov = dict(base, capped_candidates=4, pallas_window_t=0,
+        ov = dct(base, capped_candidates=4, pallas_window_t=0,
                   pallas_block_t=256)
         keys = ("value", "ms_per_step", "steps")
         if row == "capped_k4_both":
@@ -121,25 +137,26 @@ def _compute_row(row: str, args) -> dict:
         # OPT-IN ONLY (--with-10m): one row can eat the whole driver budget.
         r = run_benchmark(scene=args.scene, backend="pallas", steps=8,
                           warmup=3,
-                          overrides=dict(base, num_particles=10_000_000,
+                          overrides=dct(base, num_particles=10_000_000,
                                          capped_candidates=4,
                                          pallas_window_t=0,
                                          pallas_block_t=256),
                           lazy=True)
         return {k: r[k] for k in ("value", "ms_per_step", "steps",
                                   "num_particles")}
-    slab_keys = ("value", "ms_per_step", "p_cap", "window_t", "rebins",
+    slab_keys = ("value", "ms_per_step", "p_cap", "h_cap", "m_cap",
+                 "window_t", "rebins",
                  "migration_dropped", "halo_dropped", "steps", "scan_block")
     slab_ov = {"grid_nz": args.grid_nz} if args.grid_nz else {}
     if row == "slab_1dev":
         r = run_slab_benchmark(n=args.num_particles, steps=steps,
-                               sweeps=args.slab_sweeps, overrides=slab_ov,
+                               sweeps=args.slab_sweeps, overrides=dct(slab_ov),
                                scan_block=args.scan_block)
         return {k: r[k] for k in slab_keys}
     if row == "slab_capped_k4":
         r = run_slab_benchmark(n=args.num_particles, steps=steps,
                                sweeps="pallas",
-                               overrides=dict(slab_ov, capped_candidates=4,
+                               overrides=dct(slab_ov, capped_candidates=4,
                                               pallas_window_t=0,
                                               pallas_block_t=256),
                                scan_block=args.scan_block)
@@ -165,6 +182,9 @@ def main() -> int:
                          "(can take several minutes on its own)")
     ap.add_argument("--row", default=None,
                     help="internal: compute ONE auxiliary row and exit")
+    ap.add_argument("--ov", action="append", default=None,
+                    help="extra config override k=v for --row (repeatable; "
+                         "overrides the row's dial defaults — A/B harnesses)")
     ap.add_argument("--slab-sweeps", default="pallas")
     ap.add_argument("--grid-nz", type=int, default=0,
                     help="override the scene's z cell-plane count (slab-proxy "

@@ -298,3 +298,40 @@ def test_lazy_bench_rejects_non_pallas_backend():
     with pytest.raises(ValueError, match="lazy"):
         run_benchmark(scene="dam_break", backend="celllist", steps=1,
                       warmup=1, lazy=True)
+
+
+def test_fullrun_artifact_envelopes():
+    """The FULL-duration capped acceptance record (VERDICT r4 missing #4).
+
+    tools/capped_fullrun.py runs the reference workload (32k disk x 1001
+    steps, /root/reference/src/sph.cpp:71,171) and the north-star workload
+    (1M splash x 1000 steps) on real hardware, exact vs capped-K4-reweighted,
+    and commits docs/capped_fullrun.json.  This gate asserts the COMMITTED
+    artifact's envelopes, so regenerating it after a physics regression
+    fails CI instead of silently shipping a worse record.  (The trajectory
+    envelopes themselves are the small-n gates above; this test pins the
+    full-run record.)"""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "docs",
+                        "capped_fullrun.json")
+    if not os.path.exists(path):
+        pytest.skip("docs/capped_fullrun.json not generated yet")
+    art = json.load(open(path))
+    assert art.get("steps_scale", 1.0) >= 1.0, "artifact is a smoke run"
+    for name, row in art["rows"].items():
+        assert row["exact"]["finite"] and row["capped_k4"]["finite"], name
+        # same-state density unbiasedness at t=0 and at the evolved state
+        assert 0.97 < row["density_ratio_t0"] < 1.03, (name, row)
+        assert 0.97 < row["density_ratio_end"] < 1.03, (name, row)
+        # the cap must actually bind, or the row validates nothing
+        assert row["cap_binds"], name
+        # KE tail envelope: same bound as the trajectory gates above
+        assert 0.70 < row["ke_tail_ratio"] < 1.30, (name, row)
+        # energy drift: capped within 2x exact + 10% absolute
+        assert (row["capped_k4"]["energy_drift"]
+                < 2.0 * row["exact"]["energy_drift"] + 0.10), (name, row)
+    # the reference workload row must be present at full duration
+    assert "disk_32k" in art["rows"]
+    assert art["rows"]["disk_32k"]["steps"] >= 1001

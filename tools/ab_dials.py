@@ -97,7 +97,10 @@ def main():
     names = [(nm, ex) for nm, ex in VARIANTS if not only or nm in only]
     print(f"n={n} K_c={k_c} rounds={rounds} block={block} "
           f"device={jax.devices()[0]}", flush=True)
-    variants = [Variant(nm, ex, n, k_c) for nm, ex in names]
+    variants = []
+    for nm, ex in names:
+        print(f"  building {nm} ...", flush=True)
+        variants.append(Variant(nm, ex, n, k_c))
     for r in range(rounds):
         for v in variants:
             v.measure_block(block)

@@ -1,0 +1,114 @@
+"""Interleaved A/B of the DISTRIBUTED slab engine under config-dial overrides.
+
+Same interleaved design as ab_dials.py (tunnel drift hits all variants
+equally), but drives the production distributed path at the strong-scaling
+proxy geometry (``run_slab_benchmark`` semantics: n per chip in a
+``grid_nz``-plane box, 1-device mesh, scan_block dispatch amortization) —
+the workload VERDICT r4 #1 targets (125k/chip capped row -> <= 8 ms).
+
+Usage: python tools/ab_slab.py [N] [K_c] [rounds] [block_calls] [grid_nz]
+                               [scan_block] [only,names]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import jax
+import numpy as np
+
+from smoothed_particle_hydrodynamics_tpu.models import make_scene
+from smoothed_particle_hydrodynamics_tpu.ops import pallas_step_t as pst
+from smoothed_particle_hydrodynamics_tpu.parallel import slabs
+
+VARIANTS = [
+    ("baseline", {}),                                  # block 256 (prod dial)
+    ("rods3", {"pallas_rods": 3}),
+    ("block512", {"pallas_block_t": 512}),
+    ("block512+rods3", {"pallas_block_t": 512, "pallas_rods": 3}),
+    ("block128", {"pallas_block_t": 128}),
+    ("fused_kdk", {"fused_kdk": True}),
+    ("rods3+fused", {"pallas_rods": 3, "fused_kdk": True}),
+]
+
+SETTLE_CALLS = 2
+
+
+class Variant:
+    def __init__(self, name, extra, n, k_c, grid_nz, scan_block):
+        self.name = name
+        ov = dict(num_particles=n, cell_size_factor=1.25,
+                  pallas_block_t=256,
+                  pallas_interpret=jax.devices()[0].platform == "cpu")
+        if grid_nz:
+            ov["grid_nz"] = grid_nz
+        if k_c:
+            ov.update(capped_candidates=k_c, pallas_window_t=0)
+        ov.update(extra)
+        cfg, state = make_scene("splash", **ov)
+        if cfg.pallas_window_t == 0:
+            cfg = cfg.replace(pallas_window_t=pst.derive_window_t(cfg, state))
+        from jax.sharding import Mesh
+
+        mesh = Mesh(np.asarray(jax.devices()[:1]), ("data",))
+        zsplit = slabs.derive_zsplit(cfg, state, 1)
+        p_cap, h_cap, m_cap = slabs.derive_slab_caps(
+            cfg, state, 1, zsplit=zsplit, headroom=1.05)
+        sub_len = (slabs.derive_sub_len_slab(cfg, state, 1, zsplit)
+                   if cfg.capped_candidates else None)
+        self.carry = slabs.distribute(cfg, state, mesh, p_cap, zsplit=zsplit)
+        self.k = max(scan_block, 1)
+        self.step = slabs.make_slab_step(
+            cfg, mesh, p_cap, h_cap, m_cap, sweeps="pallas", zsplit=zsplit,
+            donate=True, sub_len=sub_len, scan_block=scan_block)
+        for _ in range(SETTLE_CALLS):          # compile + settle off-clock
+            self.carry, self.diag = self.step(self.carry)
+        np.asarray(jax.device_get(self.carry.rebin_count))
+        self.times = []
+
+    def measure_block(self, calls):
+        for _ in range(calls):
+            t0 = time.perf_counter()
+            self.carry, self.diag = self.step(self.carry)
+            np.asarray(jax.device_get(self.carry.rebin_count))
+            self.times.append((time.perf_counter() - t0) * 1000 / self.k)
+
+    def report(self):
+        t = np.asarray(self.times)
+        print(f"{self.name:16s} mean {t.mean():8.3f}  med {np.median(t):8.3f}"
+              f"  p10 {np.percentile(t, 10):8.3f} ms/step"
+              f"  rebins {int(np.asarray(self.carry.rebin_count)[0])}"
+              f"  mig_drop {int(np.ravel(self.diag.migration_dropped)[-1])}",
+              flush=True)
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 125_000
+    k_c = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    rounds = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+    block_calls = int(sys.argv[4]) if len(sys.argv) > 4 else 5
+    grid_nz = int(sys.argv[5]) if len(sys.argv) > 5 else 16
+    scan_block = int(sys.argv[6]) if len(sys.argv) > 6 else 8
+    only = sys.argv[7].split(",") if len(sys.argv) > 7 else None
+    names = [(nm, ex) for nm, ex in VARIANTS if not only or nm in only]
+    print(f"n={n} K_c={k_c} rounds={rounds} calls/round={block_calls} "
+          f"grid_nz={grid_nz} scan_block={scan_block} "
+          f"device={jax.devices()[0]}", flush=True)
+    variants = []
+    for nm, ex in names:
+        print(f"  building {nm} ...", flush=True)
+        try:
+            variants.append(Variant(nm, ex, n, k_c, grid_nz, scan_block))
+        except Exception as e:  # noqa: BLE001 - a variant that cannot
+            print(f"  {nm} FAILED to build: {e!r:.300}", flush=True)
+    for r in range(rounds):
+        for v in variants:
+            v.measure_block(block_calls)
+        print(f"  round {r + 1}/{rounds} done", flush=True)
+    for v in variants:
+        v.report()
+
+
+if __name__ == "__main__":
+    main()
