@@ -115,18 +115,9 @@ class SphConfig:
     # select ops for near-G-fold fewer swept rows (block extent dominates
     # window length)
     pallas_groups: int = 1
-    # rods per block: 9 = the classic 3y x 3z rod set (each rod x-merged to
-    # one contiguous cid range); 3 = one MERGED rod per dz that spans all
-    # three y-neighbor rows in a single [c0-nx-1, c1+nx+1] window.  At 1M a
-    # 256-wide block's sorted extent covers several x-rows of cells, so the
-    # three y-rods at one dz OVERLAP heavily and are swept redundantly —
-    # merging them cuts per-(block,rod) fixed cost + DMA descriptors 3x and
-    # the swept rows ~2x on the overhead-bound sweeps (docs/PERFORMANCE.md
-    # r4 #32).  Dedup/geometry stays exact: the in-kernel rod mask accepts a
-    # pair iff its cid delta decomposes as q*nx + r with |q| <= 1, |r| <= 1
-    # (the same 27-cell neighborhood as 9 rods).  Sparse/small scenes where
-    # a block spans < nx cells sweep extra in-between rows — keep 9 there.
-    pallas_rods: int = 9
+    # (an r4 "pallas_rods=3" merged-y-rod dial lived here; the r5 hardware
+    # A/B measured it ~2x slower at both 1M and 125k/chip — docs/ab_rods3_1m.log,
+    # docs/ab_slab125.log — and it was deleted)
     # --- capped candidates (the reference's "Subsets" optimization) ----------
     # The reference bounds pair work by stochastically subsampling neighbors
     # (/root/reference/src/sph.cpp:98,590-598,679-682; README.md:267-268
@@ -144,16 +135,14 @@ class SphConfig:
     # and pad writes proportionally.  Overflow (kept > capped_sub_len) drops
     # the tail cells' candidates — COUNTED in truncated_ranges, never silent.
     capped_sub_len: int = 0
-    # Lowering of the force kernel's per-pair 1/(d+eps): "div" (true f32
-    # divide), "recip" (pl.reciprocal exact), "approx2" (hardware approximate
-    # reciprocal + one Newton step — full f32 precision at fewer VPU slots).
-    # Sublane pallas kernel only; per-op costs in tools/probe_vpu_ops.py.
-    force_recip: str = "div"
-    # Run integrate+reflect+tally as ONE fused pallas pass over a flat
-    # component layout (ops/pallas_kdk.py) instead of the XLA formulation —
-    # per-particle results bit-exact, tally reduce order differs.  Single-chip
-    # lazy driver only; measured on hardware via tools/probe_kdk.py.
-    fused_kdk: bool = False
+    # (two more r3 dials lived here and were deleted after hardware A/Bs
+    # measured both as end-to-end no-ops at 1M AND at the 125k/chip
+    # strong-scaling load: ``force_recip`` — reciprocal lowerings for the
+    # force kernel's 1/(d+eps), 10.56 vs 10.60 ms, docs/ab_slab125.log — and
+    # ``fused_kdk`` — integrate+reflect+tally as one fused pallas pass,
+    # 10.42 vs 10.37 ms; the sweeps dominate every measured regime, so the
+    # integrate-side fusion and the per-op force lowering have nothing to
+    # save.  docs/PERFORMANCE.md r3 #23-24, r5 dial-hygiene note.)
 
     # ---------------------------------------------------------------------------
     # Derived constants (float32-faithful to /root/reference/src/sph.cpp:46-95)
@@ -262,5 +251,3 @@ class SphConfig:
         if self.capped_candidates and self.compat:
             raise ValueError("capped_candidates is the default-mode subsets "
                              "feature; compat mode has its own bit-faithful cap")
-        if self.force_recip not in ("div", "recip", "approx2"):
-            raise ValueError("force_recip must be 'div', 'recip', or 'approx2'")

@@ -160,11 +160,7 @@ def lazy_step(cfg: SphConfig, carry: LazyCarry
                   sub_dropped=sub_dropped)
     acc_s, rho_s, ncount_s = sweeps_sorted(cfg, p)
     state = state._replace(density=rho_s, neighbor_count=ncount_s)
-    if cfg.fused_kdk:
-        from .pallas_kdk import kdk_integrate_fused
-        new_state, tally = kdk_integrate_fused(cfg, state, acc_s)
-    else:
-        new_state, tally = kdk_integrate(cfg, state, acc_s)
+    new_state, tally = kdk_integrate(cfg, state, acc_s)
 
     diag = make_step_diagnostics(
         tally, ncount_s, overflow_cells=jnp.zeros((), jnp.int32),

@@ -354,10 +354,6 @@ def compute_step_quantities(cfg: SphConfig, state: ParticleState
     if cfg.capped_candidates:
         raise ValueError("capped_candidates is implemented in the sublane "
                          "layout (pallas_layout='sublane')")
-    if cfg.pallas_rods != 9:
-        raise ValueError("pallas_rods != 9 is implemented in the sublane "
-                         "layout (pallas_layout='sublane'); the lane layout "
-                         "always sweeps the classic 9-rod set")
     # f32 represents integers exactly up to 2^24, so max cid = num_cells-1
     # must satisfy num_cells <= 2^24 (256^3 is exactly at the limit).
     if cfg.num_cells > 1 << 24:

@@ -74,17 +74,12 @@ def _blane(cfg: SphConfig) -> int:
 
 
 def _rods_t(cfg: SphConfig):
-    """The rod set: 9 classic (dy, dz) rods, or 3 y-merged rods (one per dz).
-
-    A merged rod's window spans [first_cell + dz*nx*ny - nx - 1,
-    last_cell + dz*nx*ny + nx + 1] — all three y-neighbor rows at that dz in
-    ONE contiguous slab copy.  When the block's sorted cid extent exceeds nx
-    (1M-scale scenes), the three y-rods overlap pairwise, so the merged
-    window sweeps FEWER total rows and one third the (block, rod) visits —
-    the quantity the overhead-bound capped sweeps actually pay for
-    (docs/PERFORMANCE.md r4 #32)."""
-    if getattr(cfg, "pallas_rods", 9) == 3:
-        return [(0, dz) for dz in (-1, 0, 1)]
+    """The 9 classic (dy, dz) stencil rods, each x-merged to one contiguous
+    cid range.  (An r4 experiment merged the three y-rods per dz into one
+    [c0-nx-1, c1+nx+1] window — ``pallas_rods=3`` — betting that fewer
+    (block, rod) visits beat the extra in-between rows; the r5 hardware A/B
+    measured it ~2x SLOWER at BOTH 1M and 125k/chip (docs/ab_rods3_1m.log,
+    docs/ab_slab125.log), so the dial was deleted.)"""
     return _RODS
 
 
@@ -94,7 +89,7 @@ def _nrods(cfg: SphConfig) -> int:
 
 def _rod_pad(cfg: SphConfig) -> int:
     """Window half-extent beyond the block's own cid range, in cells."""
-    return cfg.grid_nx + 1 if _nrods(cfg) == 3 else 1
+    return 1
 
 
 def _rod_deltas_t(cfg: SphConfig):
@@ -103,20 +98,9 @@ def _rod_deltas_t(cfg: SphConfig):
 
 
 def _rod_ok_t(cfg: SphConfig, dc, delta_r: float):
-    """Pair gate on the cell-id delta ``dc`` for rod ``delta_r``.
-
-    9 rods: |dc - delta| <= 1 (the rod's own row, x-merged).  3 merged rods:
-    decompose e = dc - dz*nx*ny as q*nx + r and accept iff |q| <= 1 and
-    |r| <= 1 — exactly the 27-cell neighborhood, computed in f32 (cell ids
-    and nx-multiples are integers < 2^24, so every step is exact; the
-    rounding of e/nx only has to pick the right q for |r| <= 1 candidates,
-    where e/nx is within 1/nx of an integer)."""
-    if _nrods(cfg) == 9:
-        return jnp.abs(dc - _f32(delta_r)) <= 1.0
-    e = dc - _f32(delta_r)
-    nx = _f32(cfg.grid_nx)
-    q = jnp.round(e * (1.0 / nx))
-    return (jnp.abs(q) <= 1.0) & (jnp.abs(e - q * nx) <= 1.0)
+    """Pair gate on the cell-id delta ``dc`` for rod ``delta_r``:
+    |dc - delta| <= 1 (the rod's own x-merged row)."""
+    return jnp.abs(dc - _f32(delta_r)) <= 1.0
 
 
 def _block_windows_t(cfg: SphConfig, cid_sorted, nblocks: int,
@@ -422,20 +406,7 @@ def _force_kernel_t(cfg: SphConfig, s_t: int, block_base: int,
         num = (hd * hd) * (_merge_cols(tiles, masks, 9) * pw_i
                            + _merge_cols(tiles, masks, 10))
         den = d + eps
-        if cfg.force_recip == "recip":
-            center = num * pl.reciprocal(den) * scale
-        elif cfg.force_recip == "approx2":
-            # hardware approximate reciprocal + one Newton step: full f32
-            # precision at fewer VPU slots than the true divide (probe:
-            # tools/probe_vpu_ops.py).  Sentinel-padded lanes carry den=inf,
-            # where Newton's den*r is inf*0=NaN (the exact divide gives 0/inf
-            # = 0); clamping den keeps those lanes finite — num is 0 there,
-            # so any finite reciprocal is correct.
-            den = jnp.minimum(den, 1e30)
-            r = pl.reciprocal(den, approx=True)
-            center = num * (r * (2.0 - den * r)) * scale
-        else:
-            center = num / den * scale
+        center = num / den * scale
 
         # sum_c u_c * W_cs: MXU dot_general or VPU sublane sums.  For G > 1
         # the left matrices differ per lane group: run one full-width dot per
@@ -570,11 +541,6 @@ def _validate(cfg: SphConfig) -> None:
                          "(a multiple of the 128-lane tile)")
     if cfg.capped_candidates and cfg.pallas_groups != 1:
         raise ValueError("capped_candidates currently requires pallas_groups=1")
-    if getattr(cfg, "pallas_rods", 9) not in (9, 3):
-        raise ValueError("pallas_rods must be 9 or 3")
-    if getattr(cfg, "pallas_rods", 9) == 3 and cfg.grid_nx < 5:
-        # the q*nx + r delta decomposition needs |r| <= 1 to be unambiguous
-        raise ValueError("pallas_rods=3 requires grid_nx >= 5")
     if cfg.capped_candidates and cfg.num_particles > 1 << 24:
         # the self-exclusion lane compares source ROW ids carried as f32
         # (see the src_f candidate column); beyond 2^24 rows they round and

@@ -1007,14 +1007,7 @@ def slab_step_body(cfg: SphConfig, ndev: int, p_cap: int, h_cap: int,
         acceleration=acc_l,
         neighbor_count=nc_l,
     )
-    if cfg.fused_kdk:
-        # one lane-perfect pallas pass for integrate+reflect+tally
-        # (ops/pallas_kdk.py); legal inside shard_map — per-device shapes
-        # are static and the tally partials stay local until the psum below
-        from ..ops.pallas_kdk import kdk_integrate_fused
-        new_state, tally = kdk_integrate_fused(cfg, local_state, acc_l)
-    else:
-        new_state, tally = kdk_integrate(cfg, local_state, acc_l)
+    new_state, tally = kdk_integrate(cfg, local_state, acc_l)
     new_fields = jnp.concatenate(
         [new_state.position, new_state.velocity,
          mass_i[:, None], fields_s[:, _OID:_OID + 1]], axis=1)

@@ -73,52 +73,3 @@ def test_transposed_wide_blocks_capped_matches_narrow():
     np.testing.assert_array_equal(np.asarray(aux_w.neighbor_count),
                                   np.asarray(aux_n.neighbor_count))
     np.testing.assert_array_equal(np.asarray(rho_w), np.asarray(rho_n))
-
-
-@pytest.mark.parametrize("recip", ["recip", "approx2"])
-def test_transposed_force_recip_matches_oracle(recip):
-    """force_recip swaps the per-pair 1/(d+eps) lowering (pl.reciprocal,
-    optionally approx + one Newton step); both must stay within the same
-    oracle tolerances as the default divide."""
-    cfg, state = make_scene("disk", num_particles=1024,
-                            pallas_layout="sublane", pallas_interpret=True,
-                            pallas_window_t=192, force_recip=recip)
-    _check_against_oracle(cfg, state)
-
-
-def test_transposed_merged_rods_match_oracle():
-    """pallas_rods=3 merges the three y-neighbor rods at each dz into ONE
-    contiguous window ([c0-nx-1, c1+nx+1]); the in-kernel q*nx+r delta
-    decomposition must gate exactly the same 27-cell neighborhood, so the
-    merged sweep matches the O(N^2) oracle including neighbor counts."""
-    cfg, state = make_scene("disk", num_particles=1024,
-                            pallas_layout="sublane", pallas_interpret=True,
-                            pallas_window_t=192, pallas_rods=3)
-    _check_against_oracle(cfg, state)
-
-
-def test_transposed_merged_rods_capped_matches_nine():
-    """Capped selection is per cell and rod-set independent: the kept set
-    (and so every neighbor count) is identical under 9 and 3 rods; densities
-    agree to f32 summation-order noise."""
-    kw = dict(num_particles=1024, pallas_layout="sublane",
-              pallas_interpret=True, pallas_window_t=96,
-              capped_candidates=2, cell_size_factor=2.0)
-    cfg_9, state = make_scene("disk", **kw)
-    cfg_3, _ = make_scene("disk", pallas_rods=3, **kw)
-    _, rho_9, aux_9 = pallas_step_t.compute_step_quantities(cfg_9, state)
-    _, rho_3, aux_3 = pallas_step_t.compute_step_quantities(cfg_3, state)
-    np.testing.assert_array_equal(np.asarray(aux_3.neighbor_count),
-                                  np.asarray(aux_9.neighbor_count))
-    np.testing.assert_allclose(np.asarray(rho_3), np.asarray(rho_9),
-                               rtol=1e-6, atol=1e-7)
-
-
-def test_transposed_merged_rods_wide_blocks_match_oracle():
-    """The production capped configuration under merge: 256-wide blocks +
-    3 merged rods + a non-multiple tail block, against the exact oracle."""
-    cfg, state = make_scene("disk", num_particles=256 * 3 + 64,
-                            pallas_layout="sublane", pallas_interpret=True,
-                            pallas_window_t=96, pallas_block_t=256,
-                            pallas_rods=3)
-    _check_against_oracle(cfg, state)

@@ -544,28 +544,6 @@ def test_slab_pallas_enforces_kernel_constraints():
                              sweeps="pallas", sub_len=256)
 
 
-def test_slab_fused_kdk_matches_single_device():
-    """cfg.fused_kdk swaps the slab engine's integrate for the pallas pass
-    (inside shard_map); physics and fused-collective diagnostics must still
-    match the single-device celllist run."""
-    steps = 2
-    cfg, state = _scene(fused_kdk=True, pallas_interpret=True)
-    mesh = make_mesh(8)
-    p_cap, h_cap, m_cap = slabs.derive_slab_caps(cfg, state, 8)
-    carry = slabs.distribute(cfg, state, mesh, p_cap)
-    f = slabs.make_slab_step(cfg, mesh, p_cap, h_cap, m_cap, donate=False)
-    for _ in range(steps):
-        carry, diag = f(carry)
-    got = slabs.collect(carry, cfg.num_particles)
-    ref, ref_diag = _run_single(cfg.replace(fused_kdk=False), state, steps)
-    np.testing.assert_allclose(np.asarray(got.position),
-                               np.asarray(ref.position),
-                               rtol=1e-5, atol=1e-5)
-    np.testing.assert_allclose(float(diag.kinetic_energy),
-                               float(ref_diag.kinetic_energy), rtol=1e-4)
-    np.testing.assert_allclose(float(diag.angular_momentum),
-                               float(ref_diag.angular_momentum), rtol=1e-4)
-
 def test_slab_scan_block_matches_per_step_dispatch():
     """scan_block=K (K steps per dispatch via lax.scan) must reproduce the
     per-step dispatch trajectory AND per-step diagnostics exactly — it is a
@@ -658,30 +636,3 @@ def test_plane_local_window_tables_cover_candidates_mid_slab():
             assert end > last, (b, r, end, last)
 
 
-def test_slab_pallas_merged_rods_match_celllist():
-    """pallas_rods=3 inside the slab engine: the plane-local window builders
-    pad windows by nx+1 and the kernels gate by the q*nx+r delta
-    decomposition — physics must match the celllist slab path."""
-    steps = 2
-    kw = dict(pallas_interpret=True, pallas_window_t=64, pallas_rods=3)
-    cfg, state = _scene(**kw)
-    mesh = make_mesh(8)
-    p_cap, h_cap, m_cap = slabs.derive_slab_caps(cfg, state, 8)
-
-    carries = {}
-    for eng in ("celllist", "pallas"):
-        carry = slabs.distribute(cfg, state, mesh, p_cap)
-        f = slabs.make_slab_step(cfg, mesh, p_cap, h_cap, m_cap,
-                                 donate=False, sweeps=eng)
-        for _ in range(steps):
-            carry, diag = f(carry)
-        carries[eng] = (slabs.collect(carry, cfg.num_particles), diag)
-
-    got, gd = carries["pallas"]
-    ref, rd = carries["celllist"]
-    np.testing.assert_allclose(np.asarray(got.position),
-                               np.asarray(ref.position),
-                               rtol=1e-6, atol=1e-7)
-    np.testing.assert_allclose(float(gd.neighbor_mean),
-                               float(rd.neighbor_mean), rtol=1e-6)
-    assert int(gd.migration_dropped) == 0

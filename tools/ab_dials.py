@@ -7,8 +7,9 @@ variants equally, unlike sequential fresh-process runs where ±10% drift
 between processes swamps few-percent dial effects (measured 2026-08-18:
 capped baseline read 97.3 / 109.8 ms steady in two back-to-back processes).
 
-Used for the round-3 hardware A/Bs of ``fused_kdk``, ``force_recip``, and
-friends (docs/PERFORMANCE.md round-3 session-3 items 18-21).
+Used for the r3-r5 hardware dial A/Bs (docs/PERFORMANCE.md r3 #18-24, r5
+dial-hygiene note; the dead dials those A/Bs killed — fused_kdk,
+force_recip, pallas_rods=3 — were deleted along with their variants here).
 
 Usage: python tools/ab_dials.py [N] [K_c] [rounds] [block] [only,names]
 """
@@ -27,19 +28,17 @@ from smoothed_particle_hydrodynamics_tpu.ops import pallas_step_t as pst
 
 VARIANTS = [
     ("baseline", {}),
-    ("fused_kdk", {"fused_kdk": True}),
-    ("force_recip", {"force_recip": "recip"}),
-    ("fused+recip", {"fused_kdk": True, "force_recip": "recip"}),
     # r4: wider kernel blocks — fewer DMA descriptors / per-rod fixed costs
     # for ~35% more cheap union-window lanes (PERFORMANCE.md r4 #32)
     ("block256", {"pallas_block_t": 256}),
     ("block512", {"pallas_block_t": 512}),
-    # r4 session 2: one merged y-rod per dz (3 rods) — a third the
-    # per-(block,rod) fixed cost + descriptors, ~half the swept rows when
-    # block extent > nx cells (config.py pallas_rods)
-    ("rods3", {"pallas_rods": 3}),
-    ("block256+rods3", {"pallas_block_t": 256, "pallas_rods": 3}),
-    ("block512+rods3", {"pallas_block_t": 512, "pallas_rods": 3}),
+    # r5: cell size as a capped-mode dial — bigger cells bind K_c harder
+    # (fewer swept rows) and enlarge the drift skin (fewer rebins), at the
+    # cost of sampling noise (tools/capped_noise.py quantifies it)
+    ("csf1.5", {"cell_size_factor": 1.5}),
+    ("csf1.75", {"cell_size_factor": 1.75}),
+    ("csf2.0", {"cell_size_factor": 2.0}),
+    ("csf2.5", {"cell_size_factor": 2.5}),
 ]
 
 SETTLE = 10

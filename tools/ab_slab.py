@@ -24,12 +24,18 @@ from smoothed_particle_hydrodynamics_tpu.parallel import slabs
 
 VARIANTS = [
     ("baseline", {}),                                  # block 256 (prod dial)
-    ("rods3", {"pallas_rods": 3}),
-    ("block512", {"pallas_block_t": 512}),
-    ("block512+rods3", {"pallas_block_t": 512, "pallas_rods": 3}),
+    ("block512", {"pallas_block_t": 512}),             # measured loss at 125k
     ("block128", {"pallas_block_t": 128}),
-    ("fused_kdk", {"fused_kdk": True}),
-    ("rods3+fused", {"pallas_rods": 3, "fused_kdk": True}),
+    # cell size: bigger cells = harder K_c binding (fewer swept rows) +
+    # bigger drift skin (fewer rebins), at the cost of sampling noise
+    # (docs/PERFORMANCE.md r3 #9)
+    ("csf1.0", {"cell_size_factor": 1.0}),
+    ("csf1.5", {"cell_size_factor": 1.5}),
+    ("csf1.75", {"cell_size_factor": 1.75}),
+    ("csf2.0", {"cell_size_factor": 2.0}),
+    ("csf2.5", {"cell_size_factor": 2.5}),
+    ("csf1.75+b512", {"cell_size_factor": 1.75, "pallas_block_t": 512}),
+    ("csf2.0+b512", {"cell_size_factor": 2.0, "pallas_block_t": 512}),
 ]
 
 SETTLE_CALLS = 2
