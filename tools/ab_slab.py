@@ -36,6 +36,11 @@ VARIANTS = [
     ("csf2.5", {"cell_size_factor": 2.5}),
     ("csf1.75+b512", {"cell_size_factor": 1.75, "pallas_block_t": 512}),
     ("csf2.0+b512", {"cell_size_factor": 2.0, "pallas_block_t": 512}),
+    # past-2.5 ladder + dispatch amortization (the _scan_block pseudo-dial
+    # overrides the argv scan_block per variant)
+    ("csf3.0", {"cell_size_factor": 3.0}),
+    ("csf2.5+sb16", {"cell_size_factor": 2.5, "_scan_block": 16}),
+    ("csf3.0+sb16", {"cell_size_factor": 3.0, "_scan_block": 16}),
 ]
 
 SETTLE_CALLS = 2
@@ -44,6 +49,8 @@ SETTLE_CALLS = 2
 class Variant:
     def __init__(self, name, extra, n, k_c, grid_nz, scan_block):
         self.name = name
+        extra = dict(extra)
+        scan_block = extra.pop("_scan_block", scan_block)
         ov = dict(num_particles=n, cell_size_factor=1.25,
                   pallas_block_t=256,
                   pallas_interpret=jax.devices()[0].platform == "cpu")

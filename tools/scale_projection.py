@@ -72,11 +72,14 @@ def ici_cost_ms(h_cap: int, m_cap: int, rebins: int, steps: int) -> dict:
 
 
 def run_row(row: str, n: int, grid_nz: int = 0,
-            timeout: int = 1800, scan_block: int = 0) -> dict | None:
+            timeout: int = 1800, scan_block: int = 0,
+            ovs: list[str] | None = None) -> dict | None:
     cmd = [sys.executable, os.path.join(REPO, "bench.py"), "--row", row,
            "-n", str(n), "--scene", "splash", "--steps", "50",
            "--warmup", "5", "--slab-sweeps", "pallas",
            "--grid-nz", str(grid_nz), "--scan-block", str(scan_block)]
+    for kv in ovs or []:
+        cmd += ["--ov", kv]
     try:
         out = subprocess.run(cmd, capture_output=True, text=True,
                              timeout=timeout, cwd=REPO)
@@ -94,8 +97,15 @@ def main() -> int:
     ap.add_argument("--out", default=os.path.join(REPO, "docs",
                                                   "scale_projection.json"))
     args = ap.parse_args()
+    # a row spec is "name" or "name:k=v:k=v" — the k=v tail is forwarded as
+    # bench.py --ov dial overrides and recorded in the row (e.g. the capped
+    # cell-size ladder: "slab_capped_k4:cell_size_factor=2.5" buys ~20%
+    # step time for 3.3x the sampling noise, PERFORMANCE.md #35-36)
     sizes = [int(s) for s in args.sizes.split(",")]
-    rows = args.rows.split(",")
+    rows = []
+    for spec in args.rows.split(","):
+        name, *ovs = spec.split(":")
+        rows.append((name, ovs))
     d = args.chips
 
     # slab-proxy geometry: each chip of a D-mesh owns nz/D planes of the
@@ -104,17 +114,18 @@ def main() -> int:
 
     results = []
     for n in sizes:
-        for row in rows:
+        for row, ovs in rows:
             # dispatch amortization where the per-call floor dominates the
             # small device step (~2.4 ms/call, docs/PERFORMANCE.md r3 #12)
             scan_block = 8 if n <= 250_000 else (4 if n <= 500_000 else 0)
-            print(f"measuring {row} @ n/chip={n} grid_nz={grid_nz} "
+            label = row + ("".join("+" + o for o in ovs) if ovs else "")
+            print(f"measuring {label} @ n/chip={n} grid_nz={grid_nz} "
                   f"scan_block={scan_block} ...", flush=True)
-            r = run_row(row, n, grid_nz, scan_block=scan_block)
+            r = run_row(row, n, grid_nz, scan_block=scan_block, ovs=ovs)
             if r is None:
                 continue
             ms = r["ms_per_step"]
-            rec = {"row": row, "n_per_chip": n, "grid_nz": grid_nz,
+            rec = {"row": label, "n_per_chip": n, "grid_nz": grid_nz,
                    "scan_block": scan_block,
                    "ms_per_step": ms,
                    "pps_per_chip": n / ms * 1e3,
