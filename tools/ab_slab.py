@@ -41,6 +41,9 @@ VARIANTS = [
     ("csf3.0", {"cell_size_factor": 3.0}),
     ("csf2.5+sb16", {"cell_size_factor": 2.5, "_scan_block": 16}),
     ("csf3.0+sb16", {"cell_size_factor": 3.0, "_scan_block": 16}),
+    ("csf2.5+sb32", {"cell_size_factor": 2.5, "_scan_block": 32}),
+    ("csf3.0+sb32", {"cell_size_factor": 3.0, "_scan_block": 32}),
+    ("csf1.25+sb16", {"_scan_block": 16}),
 ]
 
 SETTLE_CALLS = 2

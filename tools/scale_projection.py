@@ -74,8 +74,11 @@ def ici_cost_ms(h_cap: int, m_cap: int, rebins: int, steps: int) -> dict:
 def run_row(row: str, n: int, grid_nz: int = 0,
             timeout: int = 1800, scan_block: int = 0,
             ovs: list[str] | None = None) -> dict | None:
+    # >= 3 timed calls per row at any scan_block (run_slab_benchmark runs
+    # steps//k calls; bench rows measure steps//3)
+    steps = max(9 * scan_block, 50)
     cmd = [sys.executable, os.path.join(REPO, "bench.py"), "--row", row,
-           "-n", str(n), "--scene", "splash", "--steps", "50",
+           "-n", str(n), "--scene", "splash", "--steps", str(steps),
            "--warmup", "5", "--slab-sweeps", "pallas",
            "--grid-nz", str(grid_nz), "--scan-block", str(scan_block)]
     for kv in ovs or []:
@@ -115,9 +118,13 @@ def main() -> int:
     results = []
     for n in sizes:
         for row, ovs in rows:
-            # dispatch amortization where the per-call floor dominates the
-            # small device step (~2.4 ms/call, docs/PERFORMANCE.md r3 #12)
-            scan_block = 8 if n <= 250_000 else (4 if n <= 500_000 else 0)
+            # dispatch amortization: the slab step pays a ~24 ms/call
+            # overhead on the axon tunnel (docs/ab_slab125_sb.log: sb8 8.1 ->
+            # sb16 6.5 -> sb32 5.7 ms/step at 125k/chip; the non-slab lazy
+            # driver pipelines dispatches and shows NO sb effect at 1M).
+            # Larger K amortizes it; rebins stay in-graph so physics cadence
+            # is unchanged (slabs.py scan body).
+            scan_block = 32 if n <= 250_000 else (16 if n <= 500_000 else 8)
             label = row + ("".join("+" + o for o in ovs) if ovs else "")
             print(f"measuring {label} @ n/chip={n} grid_nz={grid_nz} "
                   f"scan_block={scan_block} ...", flush=True)
