@@ -148,18 +148,22 @@ def _compute_row(row: str, args) -> dict:
                  "window_t", "rebins",
                  "migration_dropped", "halo_dropped", "steps", "scan_block")
     slab_ov = {"grid_nz": args.grid_nz} if args.grid_nz else {}
+    # the slab step pays ~24 ms per dispatch on the axon tunnel; scanning
+    # K=8 steps per call amortizes it with rebins staying in-graph
+    # (docs/PERFORMANCE.md #37).  0 = unset -> the measured default.
+    slab_sb = args.scan_block or 8
     if row == "slab_1dev":
-        r = run_slab_benchmark(n=args.num_particles, steps=steps,
+        r = run_slab_benchmark(n=args.num_particles, steps=max(steps, 3 * slab_sb),
                                sweeps=args.slab_sweeps, overrides=dct(slab_ov),
-                               scan_block=args.scan_block)
+                               scan_block=slab_sb)
         return {k: r[k] for k in slab_keys}
     if row == "slab_capped_k4":
-        r = run_slab_benchmark(n=args.num_particles, steps=steps,
+        r = run_slab_benchmark(n=args.num_particles, steps=max(steps, 3 * slab_sb),
                                sweeps="pallas",
                                overrides=dct(slab_ov, capped_candidates=4,
                                               pallas_window_t=0,
                                               pallas_block_t=256),
-                               scan_block=args.scan_block)
+                               scan_block=slab_sb)
         return {k: r[k] for k in slab_keys}
     raise SystemExit(f"unknown row {row!r}")
 
