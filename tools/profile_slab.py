@@ -7,7 +7,8 @@ Compare against tools/profile_pallas.py (single-chip phases) to locate the
 slab machinery's per-step overhead (docs/PERFORMANCE.md round-3 finding 9:
 at 10M the slab row ran 950 ms vs 805 single-chip).
 
-Usage: python tools/profile_slab.py [N] [K_c] [csf] [steps]  (K_c=0 -> exact)
+Usage: python tools/profile_slab.py [N] [K_c] [csf] [steps] [grid_nz] [scan_block] [--phases]
+       (K_c=0 -> exact; grid_nz/scan_block: strong-scaling proxy dials)
 """
 
 import sys
@@ -21,15 +22,17 @@ from smoothed_particle_hydrodynamics_tpu.models import make_scene
 from smoothed_particle_hydrodynamics_tpu.parallel import slabs
 
 
-def _trace(step, carry, steps, settle, label="", skin=None):
-    """Per-step timing loop; returns (carry, steady_ms, rebin_ms)."""
+def _trace(step, carry, steps, settle, label="", skin=None, k=1):
+    """Per-call timing loop (k steps per call); returns (carry, steady_ms,
+    rebin_ms) normalized per STEP.  A call is tagged REBIN if any of its k
+    steps rebinned."""
     times, rebinned = [], []
     rb_prev = int(np.asarray(carry.rebin_count)[0])
     for i in range(steps):
         t0 = time.perf_counter()
         carry, diag = step(carry)
         np.asarray(carry.count)     # sync
-        dt = (time.perf_counter() - t0) * 1000
+        dt = (time.perf_counter() - t0) * 1000 / k
         rb = int(np.asarray(carry.rebin_count)[0])
         fired = rb > rb_prev
         rb_prev = rb
@@ -54,10 +57,15 @@ def _trace(step, carry, steps, settle, label="", skin=None):
     return carry, steady, rebin
 
 
-def main(n=1_000_000, k_c=4, csf=1.25, steps=24, settle=10, phases=False):
+def main(n=1_000_000, k_c=4, csf=1.25, steps=24, settle=10, phases=False,
+         grid_nz=0, scan_block=0):
     from jax.sharding import Mesh
 
     ov = dict(num_particles=n, cell_size_factor=csf)
+    if grid_nz:
+        # slab-proxy geometry (tools/scale_projection.py): n/chip in a
+        # grid_nz-plane box == one chip of a 128//grid_nz-chip mesh
+        ov["grid_nz"] = grid_nz
     if k_c:
         ov.update(capped_candidates=k_c, pallas_window_t=0)
     cfg, state = make_scene("splash", **ov)
@@ -75,8 +83,9 @@ def main(n=1_000_000, k_c=4, csf=1.25, steps=24, settle=10, phases=False):
     carry = slabs.distribute(cfg, state, mesh, p_cap, zsplit=zsplit)
     step = slabs.make_slab_step(cfg, mesh, p_cap, h_cap, m_cap,
                                 sweeps="pallas", zsplit=zsplit, donate=True,
-                                sub_len=sub_len)
-    print(f"n={n} K_c={k_c} csf={csf} window_t={cfg.pallas_window_t} "
+                                sub_len=sub_len, scan_block=scan_block)
+    print(f"n={n} K_c={k_c} csf={csf} grid_nz={grid_nz} sb={scan_block} "
+          f"window_t={cfg.pallas_window_t} "
           f"p_cap={p_cap} h_cap={h_cap} m_cap={m_cap} sub_len={sub_len} "
           f"device={jax.devices()[0]}")
 
@@ -87,7 +96,8 @@ def main(n=1_000_000, k_c=4, csf=1.25, steps=24, settle=10, phases=False):
     from smoothed_particle_hydrodynamics_tpu.ops.lazy import skin_half
 
     carry, steady_full, rebin_full = _trace(step, carry, steps, settle,
-                                            skin=skin_half(cfg))
+                                            skin=skin_half(cfg),
+                                            k=max(scan_block, 1))
 
     if not phases:
         return
@@ -143,12 +153,14 @@ def main(n=1_000_000, k_c=4, csf=1.25, steps=24, settle=10, phases=False):
                 setattr(slabs, k, v)
             step_v = slabs.make_slab_step(
                 cfg, mesh, p_cap, h_cap, m_cap, sweeps="pallas",
-                zsplit=zsplit, donate=True, sub_len=sub_len)
+                zsplit=zsplit, donate=True, sub_len=sub_len,
+                scan_block=scan_block)
             cv = jax.tree.map(lambda x: x + 0, carry)   # fresh copy
             for _ in range(3):
                 cv, _ = step_v(cv)
             np.asarray(cv.count)
-            _trace(step_v, cv, max(steps // 2, 8), settle, label=label)
+            _trace(step_v, cv, max(steps // 2, 8), settle, label=label,
+                   k=max(scan_block, 1))
         finally:
             for k, v in saved.items():
                 setattr(slabs, k, v)
@@ -160,4 +172,6 @@ if __name__ == "__main__":
          k_c=int(a[1]) if len(a) > 1 else 4,
          csf=float(a[2]) if len(a) > 2 else 1.25,
          steps=int(a[3]) if len(a) > 3 else 24,
+         grid_nz=int(a[4]) if len(a) > 4 else 0,
+         scan_block=int(a[5]) if len(a) > 5 else 0,
          phases="--phases" in sys.argv[1:])
