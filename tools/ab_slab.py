@@ -44,6 +44,15 @@ VARIANTS = [
     ("csf2.5+sb32", {"cell_size_factor": 2.5, "_scan_block": 32}),
     ("csf3.0+sb32", {"cell_size_factor": 3.0, "_scan_block": 32}),
     ("csf1.25+sb16", {"_scan_block": 16}),
+    # r5 session 3: extend both ladders past the sb32/csf3.0 knee
+    ("csf2.5+sb64", {"cell_size_factor": 2.5, "_scan_block": 64}),
+    ("csf3.0+sb64", {"cell_size_factor": 3.0, "_scan_block": 64}),
+    ("csf4.0+sb32", {"cell_size_factor": 4.0, "_scan_block": 32}),
+    ("csf4.0+sb64", {"cell_size_factor": 4.0, "_scan_block": 64}),
+    # window_t is auto-derived (p90) in capped mode; w64 forces the floor to
+    # test whether the derived window still carries slack at big csf
+    ("csf3.0+sb32+w64", {"cell_size_factor": 3.0, "_scan_block": 32,
+                         "pallas_window_t": 64}),
 ]
 
 SETTLE_CALLS = 2
