@@ -129,6 +129,11 @@ class SphConfig:
     # reference truncates without reweighting — set False for that semantic).
     capped_candidates: int = 0
     capped_reweight: bool = True
+    # Fused capped sweep: ONE window pass computes density + force, fed by a
+    # sub-frame density pre-pass (pallas_step_t._fused_kernel_t) — removes
+    # the full density sweep's (block, rod) visits, the dominant capped cost
+    # (docs/PERFORMANCE.md #39).  Capped pallas mode only; ignored elsewhere.
+    capped_fused: bool = False
     # static length of the subsampled candidate frame (0 = N, always safe).
     # The kept count is ~N*min(1, K_c/occupancy); sizing the frame near it
     # (derive_sub_len: 1.15x margin) shrinks the per-step candidate gathers

@@ -77,6 +77,8 @@ class LazyCarry(NamedTuple):
     cand_cid_f: jnp.ndarray | None = None  # [S] frozen sub cids (-10 tail)
     wm_sub: jnp.ndarray | None = None      # [S] frozen reweighted cand mass
     sub_dropped: jnp.ndarray | None = None  # i32 kept rows beyond S (counted)
+    ws_sub: jnp.ndarray | None = None      # fused: frozen sub-block windows
+    wc_sub: jnp.ndarray | None = None      # fused: frozen sub chunk counts
 
 
 def skin_half(cfg: SphConfig) -> float:
@@ -112,19 +114,21 @@ def _carry_fields(cfg: SphConfig, state: ParticleState):
         neighbor_count=jnp.zeros_like(p.mass_s, dtype=jnp.int32),
     )
     return (sorted_state, p.order, p.pos_s, p.cid_f, p.ws, p.wc, p.ref,
-            p.sub_perm, p.cand_cid_f, p.wm_sub, p.sub_dropped)
+            p.sub_perm, p.cand_cid_f, p.wm_sub, p.sub_dropped,
+            p.ws_sub, p.wc_sub)
 
 
 def init_lazy(cfg: SphConfig, state: ParticleState) -> LazyCarry:
     """Sort the initial state and build the first binning structure."""
     _validate(cfg)
     (sorted_state, order, pos_bin, cid_f, ws, wc, ref,
-     sub_perm, cand_cid_f, wm_sub, sub_dropped) = _carry_fields(cfg, state)
+     sub_perm, cand_cid_f, wm_sub, sub_dropped,
+     ws_sub, wc_sub) = _carry_fields(cfg, state)
     return LazyCarry(sorted_state, order, pos_bin, cid_f, ws, wc, ref,
                      steps_since=jnp.zeros((), jnp.int32),
                      rebin_count=jnp.zeros((), jnp.int32),
                      sub_perm=sub_perm, cand_cid_f=cand_cid_f, wm_sub=wm_sub,
-                     sub_dropped=sub_dropped)
+                     sub_dropped=sub_dropped, ws_sub=ws_sub, wc_sub=wc_sub)
 
 
 def lazy_step(cfg: SphConfig, carry: LazyCarry
@@ -140,24 +144,26 @@ def lazy_step(cfg: SphConfig, carry: LazyCarry
 
     def rebuild(c: LazyCarry):
         (st, perm, pos_bin, cid_f, ws, wc, ref,
-         sub_perm, cand_cid_f, wm_sub, sub_dropped) = _carry_fields(cfg, c.state)
+         sub_perm, cand_cid_f, wm_sub, sub_dropped,
+         ws_sub, wc_sub) = _carry_fields(cfg, c.state)
         return (st, c.order[perm], pos_bin, cid_f, ws, wc, ref,
                 jnp.zeros((), jnp.int32), c.rebin_count + 1,
-                sub_perm, cand_cid_f, wm_sub, sub_dropped)
+                sub_perm, cand_cid_f, wm_sub, sub_dropped, ws_sub, wc_sub)
 
     def keep(c: LazyCarry):
         return (c.state, c.order, c.pos_bin, c.cid_f, c.ws, c.wc, c.ref,
                 c.steps_since + 1, c.rebin_count,
-                c.sub_perm, c.cand_cid_f, c.wm_sub, c.sub_dropped)
+                c.sub_perm, c.cand_cid_f, c.wm_sub, c.sub_dropped,
+                c.ws_sub, c.wc_sub)
 
     (state, order, pos_bin, cid_f, ws, wc, ref,
-     steps_since, rebin_count, sub_perm, cand_cid_f, wm_sub, sub_dropped
-     ) = jax.lax.cond(need, rebuild, keep, carry)
+     steps_since, rebin_count, sub_perm, cand_cid_f, wm_sub, sub_dropped,
+     ws_sub, wc_sub) = jax.lax.cond(need, rebuild, keep, carry)
 
     p = PreparedT(order=order, pos_s=state.position, vel_s=state.velocity,
                   mass_s=state.mass, cid_f=cid_f, ws=ws, wc=wc, ref=ref,
                   sub_perm=sub_perm, cand_cid_f=cand_cid_f, wm_sub=wm_sub,
-                  sub_dropped=sub_dropped)
+                  sub_dropped=sub_dropped, ws_sub=ws_sub, wc_sub=wc_sub)
     acc_s, rho_s, ncount_s = sweeps_sorted(cfg, p)
     state = state._replace(density=rho_s, neighbor_count=ncount_s)
     new_state, tally = kdk_integrate(cfg, state, acc_s)
@@ -168,7 +174,8 @@ def lazy_step(cfg: SphConfig, carry: LazyCarry
                           else jnp.zeros((), jnp.int32)))
     new_carry = LazyCarry(new_state, order, pos_bin, cid_f, ws, wc, ref,
                           steps_since, rebin_count,
-                          sub_perm, cand_cid_f, wm_sub, sub_dropped)
+                          sub_perm, cand_cid_f, wm_sub, sub_dropped,
+                          ws_sub, wc_sub)
     return new_carry, diag
 
 

@@ -292,7 +292,12 @@ def _sweep_body_t(cfg, s_t, block_base,
 
 def _density_kernel_t(cfg: SphConfig, s_t: int, block_base: int,
                       ws_ref, wc_ref, ref_ref, fields_hbm, self_ref,
-                      rho_ref, ncount_ref, cand, sem):
+                      rho_ref, ncount_ref, cand, sem, self_src_row=None):
+    """``self_src_row``: when the SELF rows are themselves a subsampled
+    frame (the fused path's sub-frame density pre-pass), the lane index
+    ``own`` is a sub-frame row and cannot match the candidates' full-frame
+    ``src`` lane; the caller then appends the self particles' full-frame
+    rows as self row ``self_src_row`` and exclusion compares src-vs-src."""
     h2 = _f32(cfg.h2)
     deltas = _rod_deltas_t(cfg)
     xi = self_ref[0:1, :]
@@ -310,7 +315,10 @@ def _density_kernel_t(cfg: SphConfig, s_t: int, block_base: int,
         d2 = dx * dx + dy * dy + dz * dz                   # unscaled
         dc = _merge_cols(tiles, masks, 3) - cid_i
         rod_ok = _rod_ok_t(cfg, dc, deltas[r])
-        if cfg.capped_candidates:
+        if self_src_row is not None:
+            not_self = (_merge_cols(tiles, masks, 5)
+                        != self_ref[self_src_row:self_src_row + 1, :])
+        elif cfg.capped_candidates:
             # subsampled candidate frame: window row != particle row, so
             # self-exclusion compares the src lane
             not_self = _merge_cols(tiles, masks, 5) != own.astype(jnp.float32)
@@ -467,6 +475,150 @@ def _force_kernel_t(cfg: SphConfig, s_t: int, block_base: int,
 
 
 # ---------------------------------------------------------------------------
+# Fused capped sweep: ONE window pass computes density AND force (capped
+# mode only).  The force sum splits as center_c = pw_i*c1_c + c2_c with
+#   c1_c = hd^2 * mj   / (d+eps) * scale     (pw_i-free)
+#   c2_c = hd^2 * mjpwj / (d+eps) * scale
+# so the pressure reduction becomes TWO MXU dots (U.c1, U.c2) combined with
+# pw_i AFTER the sweep — and pw_i itself comes from the rho accumulated in
+# the same pass.  Candidate pwj must be known BEFORE the sweep: the caller
+# runs a tiny density pre-pass over the SUB FRAME only (S ~ K_c per cell
+# rows, a few % of N), which is what makes fusion capped-only — in exact
+# mode the pre-pass would be the full density sweep and nothing is saved.
+# Eliminates the full density sweep's (block, rod) visits and window DMA,
+# the dominant cost at strong-scaling loads (docs/PERFORMANCE.md #38-39).
+#
+# Candidate row lanes: identical to the force kernel (0:x 1:y 2:z 3:ones
+# 4:rimj*vx 5:rimj*vy 6:rimj*vz 7:rimj 8:cid 9:mj 10:mjpwj 11:src) — mj
+# rides at lane 9 for the density part.  Self rows: 0:x 1:y 2:z 3:vx 4:vy
+# 5:vz 6:m 7:cid (no rho row — rho is computed in-kernel).
+# ---------------------------------------------------------------------------
+
+def _fused_kernel_t(cfg: SphConfig, s_t: int, block_base: int,
+                    ws_ref, wc_ref, ref_ref, fields_hbm, self_ref,
+                    acc_ref, rho_ref, ncount_ref, cand, sem):
+    h2 = _f32(cfg.h2)
+    h = _f32(cfg.h_scaled)
+    scale = _f32(cfg.sim_scale)
+    scale2 = _f32(cfg.sim_scale * cfg.sim_scale)
+    eps = _f32(cfg.pressure_softening)
+    k = _f32(cfg.stiffness)
+    rho0 = _f32(cfg.rho0)
+    deltas = _rod_deltas_t(cfg)
+
+    i = pl.program_id(0)
+    rx = ref_ref[i * 3 + 0]
+    ry = ref_ref[i * 3 + 1]
+    rz = ref_ref[i * 3 + 2]
+    lane4 = jax.lax.broadcasted_iota(jnp.int32, (1, 4), 1)
+    ref4 = jnp.where(lane4 == 0, rx,
+                     jnp.where(lane4 == 1, ry,
+                               jnp.where(lane4 == 2, rz, 0.0)))
+
+    xi = self_ref[0:1, :]
+    yi = self_ref[1:2, :]
+    zi = self_ref[2:3, :]
+    cid_i = self_ref[7:8, :]
+
+    b = _blane(cfg)
+    masks = _lane_group_masks(cfg)
+
+    def pair_compute(carry, tiles, r, jg, own, gate):
+        acc_p1, acc_p2, acc_v, rho, ncount = carry
+        dx = _merge_cols(tiles, masks, 0) - xi
+        dy = _merge_cols(tiles, masks, 1) - yi
+        dz = _merge_cols(tiles, masks, 2) - zi
+        d2u = dx * dx + dy * dy + dz * dz                  # unscaled, exact
+        dc = _merge_cols(tiles, masks, 8) - cid_i
+        rod_ok = _rod_ok_t(cfg, dc, deltas[r])
+        not_self = _merge_cols(tiles, masks, 11) != own.astype(jnp.float32)
+        mask = rod_ok & not_self & (d2u < h2)
+        if gate is not None:
+            mask = mask & gate
+
+        m_j = _merge_cols(tiles, masks, 9)
+        # density part (same ops/order as _density_kernel_t -> same rho bits)
+        t = _f32(cfg.h_scaled2) - d2u * scale2
+        w3 = _f32(cfg.poly6_norm) * t * t * t
+        rho = rho + jnp.sum(jnp.where(mask, m_j * w3, 0.0),
+                            axis=0, keepdims=True)
+        ncount = ncount + jnp.sum(mask.astype(jnp.int32), axis=0,
+                                  keepdims=True)
+
+        d = jnp.sqrt(d2u) * scale
+        hd = jnp.where(mask, h - d, 0.0)
+        hd2inv = (hd * hd) / (d + eps) * scale
+        c1 = hd2inv * m_j
+        c2 = hd2inv * _merge_cols(tiles, masks, 10)
+
+        if _MXU_REDUCE:
+            def dot4(mat, rhs):
+                return jax.lax.dot_general(
+                    mat, rhs, (((0,), (0,)), ((), ())),
+                    precision=_HI, preferred_element_type=jnp.float32)
+            u = tiles[0][:, 0:4] - ref4
+            acc_p1 = acc_p1 + dot4(u, c1)
+            acc_p2 = acc_p2 + dot4(u, c2)
+            acc_v = acc_v + dot4(tiles[0][:, 4:8], hd)
+        else:
+            def red(col, tile):
+                return jnp.sum(col * tile, axis=0, keepdims=True)
+            rx4 = ref4[0, 0]; ry4 = ref4[0, 1]; rz4 = ref4[0, 2]
+            def stack4(c0, c1_, c2_, c3, tile):
+                return jnp.concatenate([red(c0, tile), red(c1_, tile),
+                                        red(c2_, tile), red(c3, tile)],
+                                       axis=0)
+            x_c = _merge_cols(tiles, masks, 0) - rx4
+            y_c = _merge_cols(tiles, masks, 1) - ry4
+            z_c = _merge_cols(tiles, masks, 2) - rz4
+            ones = _merge_cols(tiles, masks, 3)
+            acc_p1 = acc_p1 + stack4(x_c, y_c, z_c, ones, c1)
+            acc_p2 = acc_p2 + stack4(x_c, y_c, z_c, ones, c2)
+            acc_v = acc_v + stack4(_merge_cols(tiles, masks, 4),
+                                   _merge_cols(tiles, masks, 5),
+                                   _merge_cols(tiles, masks, 6),
+                                   _merge_cols(tiles, masks, 7), hd)
+        return acc_p1, acc_p2, acc_v, rho, ncount
+
+    zero4 = jnp.zeros((4, b), jnp.float32)
+    init = (zero4, zero4, zero4,
+            jnp.zeros((1, b), jnp.float32), jnp.zeros((1, b), jnp.int32))
+    acc_p1, acc_p2, acc_v, rho, ncount = _sweep_body_t(
+        cfg, s_t, block_base, ws_ref, wc_ref, ref_ref,
+        fields_hbm, self_ref, cand, sem, init, pair_compute)
+
+    if cfg.include_self_density:
+        m_i = self_ref[6:7, :]
+        h2s = _f32(cfg.h_scaled2)
+        rho = rho + m_i * _f32(cfg.poly6_norm) * h2s * h2s * h2s
+    rhoi_inv = 1.0 / jnp.where(rho > 0.0, rho, 1.0)
+    pw_i = (rho - rho0) * k * rhoi_inv * rhoi_inv
+
+    # pressure: sum (xi - xj)*center = pw_i*((xi-rx)*S1 - S1_x) + (...S2...)
+    s1 = acc_p1[3:4, :]
+    s2 = acc_p2[3:4, :]
+    ax = pw_i * ((xi - rx) * s1 - acc_p1[0:1, :]) \
+        + ((xi - rx) * s2 - acc_p2[0:1, :])
+    ay = pw_i * ((yi - ry) * s1 - acc_p1[1:2, :]) \
+        + ((yi - ry) * s2 - acc_p2[1:2, :])
+    az = pw_i * ((zi - rz) * s1 - acc_p1[2:3, :]) \
+        + ((zi - rz) * s2 - acc_p2[2:3, :])
+    # viscosity: sum (vxj - vxi) * hd * rimj  ->  V_xj - vxi * S_rimj
+    s_rim = acc_v[3:4, :]
+    vx = acc_v[0:1, :] - self_ref[3:4, :] * s_rim
+    vy = acc_v[1:2, :] - self_ref[4:5, :] * s_rim
+    vz = acc_v[2:3, :] - self_ref[5:6, :] * s_rim
+
+    norm = _f32(cfg.visc_lap_norm)
+    mu_rhoi = _f32(cfg.viscosity) * rhoi_inv
+    acc_ref[0, :] = (mu_rhoi * vx * norm + ax * norm).reshape(b)
+    acc_ref[1, :] = (mu_rhoi * vy * norm + ay * norm).reshape(b)
+    acc_ref[2, :] = (mu_rhoi * vz * norm + az * norm).reshape(b)
+    rho_ref[0, :] = rho.reshape(b)
+    ncount_ref[0, :] = ncount.reshape(b)
+
+
+# ---------------------------------------------------------------------------
 # pallas_call wrapper
 # ---------------------------------------------------------------------------
 
@@ -523,6 +675,8 @@ class PreparedT(NamedTuple):
     cand_cid_f: jnp.ndarray | None = None  # [S] f32 sub cids (-10 tail)
     wm_sub: jnp.ndarray | None = None      # [S] f32 reweighted cand mass
     sub_dropped: jnp.ndarray | None = None  # i32: kept rows beyond S (counted)
+    ws_sub: jnp.ndarray | None = None      # fused: sub-block window starts
+    wc_sub: jnp.ndarray | None = None      # fused: sub-block chunk counts
 
 
 def _validate(cfg: SphConfig) -> None:
@@ -537,6 +691,10 @@ def _validate(cfg: SphConfig) -> None:
     if cfg.pallas_groups not in (1, 2, 4):
         raise ValueError("pallas_groups must be 1, 2, or 4")
     if _blane(cfg) not in (128, 256, 512):
+        # 1024 was tried in r5 session 3: Mosaic's remote compile crashed at
+        # csf3/csf4 shapes and the one shape that compiled (csf5, 125k/chip)
+        # measured SLOWER than b512 (4.09 vs 3.74 ms/step) — the union
+        # window growth beats the visit halving past 512 (ab_slab125 logs)
         raise ValueError("pallas_block_t must be 128, 256, or 512 "
                          "(a multiple of the 128-lane tile)")
     if cfg.capped_candidates and cfg.pallas_groups != 1:
@@ -745,6 +903,18 @@ def prepare_t(cfg: SphConfig, state: ParticleState) -> PreparedT:
     ws, wc = _block_windows_t(cfg, cid_sorted, nblocks,
                               cfg.pallas_window_t, n, search_pad,
                               cid_search=cid_search)
+    ws_sub = wc_sub = None
+    if k_c and cfg.capped_fused:
+        # window tables for the SUB-frame blocks (the fused path's density
+        # pre-pass sweeps the sub frame FROM the sub frame): kept rows are
+        # cid-ordered and compacted to the front, the >=num_cells sentinel
+        # tail lands in the dedicated histogram bucket no window reaches
+        s_len = sub_len(cfg, n)
+        nblocks_sub = -(-s_len // _blane(cfg))
+        ws_sub, wc_sub = _block_windows_t(
+            cfg, cid_search, nblocks_sub, cfg.pallas_window_t,
+            s_len, search_pad, cid_search=cid_search)
+        ws_sub, wc_sub = ws_sub.reshape(-1), wc_sub.reshape(-1)
     first = jnp.minimum(jnp.arange(nblocks, dtype=jnp.int32) * _blane(cfg),
                         n - 1)
     return PreparedT(
@@ -756,19 +926,24 @@ def prepare_t(cfg: SphConfig, state: ParticleState) -> PreparedT:
         ws=ws.reshape(-1), wc=wc.reshape(-1),
         ref=pos_s[first].reshape(-1),
         sub_perm=sub_perm, cand_cid_f=cand_cid_f, wm_sub=wm_sub,
-        sub_dropped=sub_dropped,
+        sub_dropped=sub_dropped, ws_sub=ws_sub, wc_sub=wc_sub,
     )
 
 
-def _run_chunked(cfg, p: PreparedT, kernel, cand_cols, self_cols,
-                 out_specs, make_out_shape):
+def _run_chunked(cfg, tables, n, kernel, cand_cols, self_cols,
+                 out_specs, make_out_shape, cand_pad_rows=None):
     """cand_cols/self_cols: [N, R] column matrices (padding rows get cid -10
-    via the dedicated cid column fill)."""
+    via the dedicated cid column fill).  ``tables = (ws, wc, ref)`` are the
+    window tables the SELF blocks sweep with (the main frame's for the
+    standard sweeps, the sub frame's for the fused path's density
+    pre-pass); ``n`` is the number of live self rows."""
+    ws, wc, ref = tables
     s_t = cfg.pallas_window_t
     G = cfg.pallas_groups
     b = _blane(cfg)
-    n = p.pos_s.shape[0]
-    n_pad = _n_pad(cfg, n)
+    # callers pre-pad cand_cols to the window-table frame's padded length
+    # (_n_pad_rows of the candidate frame), so no further row padding here
+    n_pad = cand_cols.shape[0] if cand_pad_rows is None else cand_pad_rows
     nblocks = -(-n // b)
     pad_rows = nblocks * b - n
     nr = _nrods(cfg)
@@ -785,8 +960,8 @@ def _run_chunked(cfg, p: PreparedT, kernel, cand_cols, self_cols,
             grid_spec=_grid_spec_t(nb_c, self_cols.shape[1], s_t, G,
                                    out_specs, b=b, nr=nr),
             interpret=cfg.pallas_interpret,
-        )(p.ws[sl], p.wc[sl],
-          jax.lax.dynamic_slice_in_dim(p.ref, base * 3, nb_c * 3),
+        )(ws[sl], wc[sl],
+          jax.lax.dynamic_slice_in_dim(ref, base * 3, nb_c * 3),
           fields,
           jax.lax.dynamic_slice_in_dim(selfrows, base * b,
                                        nb_c * b, axis=1))
@@ -820,22 +995,19 @@ def density_sweep_t(cfg: SphConfig, p: PreparedT, pv_sub=None
         # fresh each call (they drift between rebins), mass pre-reweighted
         if pv_sub is None:
             pv_sub = gather_sub_pv(p)
-        cand = jnp.concatenate(
-            [pv_sub[:, 0:3], p.cand_cid_f[:, None],
-             p.wm_sub[:, None], p.sub_perm.astype(jnp.float32)[:, None]],
-            axis=1)
+        cand = _sub_cand_cols(cfg, p, pv_sub)
     else:
         cand = jnp.concatenate(
             [p.pos_s, p.cid_f[:, None], p.mass_s[:, None], iota_f[:, None]],
             axis=1)
-    pad = jnp.zeros((_n_pad_rows(cfg, cand.shape[0]) - cand.shape[0],
-                     cand.shape[1]), jnp.float32)
-    pad = pad.at[:, 0:3].set(1e30).at[:, 3].set(-10.0).at[:, 5].set(-1.0)
-    cand = jnp.concatenate([cand, pad], axis=0)
+        pad = jnp.zeros((_n_pad_rows(cfg, cand.shape[0]) - cand.shape[0],
+                         cand.shape[1]), jnp.float32)
+        pad = pad.at[:, 0:3].set(1e30).at[:, 3].set(-10.0).at[:, 5].set(-1.0)
+        cand = jnp.concatenate([cand, pad], axis=0)
     selfc = jnp.concatenate(
         [p.pos_s, p.mass_s[:, None], p.cid_f[:, None]], axis=1)
     rho_blocks, nc_blocks = _run_chunked(
-        cfg, p, _density_kernel_t, cand, selfc,
+        cfg, (p.ws, p.wc, p.ref), n, _density_kernel_t, cand, selfc,
         out_specs=(
             pl.BlockSpec((1, b), lambda i, *_: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, b), lambda i, *_: (0, i), memory_space=pltpu.VMEM),
@@ -866,6 +1038,72 @@ def force_sweep_t(cfg: SphConfig, p: PreparedT, rho_s: jnp.ndarray,
         pos_c, vel_c, rho_c, m_c = p.pos_s, p.vel_s, rho_s, p.mass_s
         cid_c = p.cid_f
         src_f = jnp.arange(n, dtype=jnp.int32).astype(jnp.float32)
+    cand = fused_cand_cols(cfg, pos_c, vel_c, rho_c, m_c, cid_c, src_f)
+    selfc = jnp.concatenate(
+        [p.pos_s, p.vel_s, p.mass_s[:, None], rho_s[:, None],
+         p.cid_f[:, None]], axis=1)
+    acc_rows = _run_chunked(
+        cfg, (p.ws, p.wc, p.ref), n, _force_kernel_t, cand, selfc,
+        out_specs=pl.BlockSpec((3, _blane(cfg)), lambda i, *_: (0, i),
+                               memory_space=pltpu.VMEM),
+        make_out_shape=lambda rows: jax.ShapeDtypeStruct((3, rows), jnp.float32),
+    )
+    return acc_rows[:, :n].T
+
+
+def _sub_cand_cols(cfg: SphConfig, p: PreparedT, pv_sub) -> jnp.ndarray:
+    """Density-layout candidate columns of the sub frame, padded: x y z cid
+    m src (shared by ``density_sweep_t``'s capped branch and the fused
+    pre-pass)."""
+    cand = jnp.concatenate(
+        [pv_sub[:, 0:3], p.cand_cid_f[:, None],
+         p.wm_sub[:, None], p.sub_perm.astype(jnp.float32)[:, None]],
+        axis=1)
+    pad = jnp.zeros((_n_pad_rows(cfg, cand.shape[0]) - cand.shape[0],
+                     cand.shape[1]), jnp.float32)
+    pad = pad.at[:, 0:3].set(1e30).at[:, 3].set(-10.0).at[:, 5].set(-1.0)
+    return jnp.concatenate([cand, pad], axis=0)
+
+
+def density_sub_t(cfg: SphConfig, p: PreparedT, pv_sub) -> jnp.ndarray:
+    """Fused-path pre-pass: capped density of the SUB-frame particles only.
+
+    Same estimator as ``density_sweep_t`` evaluated at S sub rows instead of
+    N — the force-side candidate pressures are the only consumer of
+    candidate densities, so the fused sweep needs just these.  Self rows
+    carry the particles' TRUE mass (reweighting applies to candidate
+    masses, not the self term) and their full-frame row for src-vs-src
+    self-exclusion (``_density_kernel_t`` docstring).
+    """
+    s_len = p.sub_perm.shape[0]
+    b = _blane(cfg)
+    n_rows = -(-s_len // b) * b
+    cand = _sub_cand_cols(cfg, p, pv_sub)
+    m_sub = p.mass_s[p.sub_perm]
+    selfc = jnp.concatenate(
+        [pv_sub[:, 0:3], m_sub[:, None], p.cand_cid_f[:, None],
+         p.sub_perm.astype(jnp.float32)[:, None]], axis=1)
+    nblocks_sub = -(-s_len // b)
+    ref0 = jnp.zeros((nblocks_sub * 3,), jnp.float32)   # density: ref unused
+    rho_blocks, _ = _run_chunked(
+        cfg, (p.ws_sub, p.wc_sub, ref0), s_len,
+        partial(_density_kernel_t, self_src_row=5), cand, selfc,
+        out_specs=(
+            pl.BlockSpec((1, b), lambda i, *_: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b), lambda i, *_: (0, i), memory_space=pltpu.VMEM),
+        ),
+        make_out_shape=lambda rows: (
+            jax.ShapeDtypeStruct((1, rows), jnp.float32),
+            jax.ShapeDtypeStruct((1, rows), jnp.int32),
+        ),
+    )
+    return rho_blocks.reshape(n_rows)[:s_len]
+
+
+def fused_cand_cols(cfg: SphConfig, pos_c, vel_c, rho_c, m_c, cid_c, src_f
+                    ) -> jnp.ndarray:
+    """Force-layout candidate columns from explicit per-candidate arrays
+    (shared by the single-chip and slab fused paths)."""
     ones = jnp.ones((pos_c.shape[0], 1), jnp.float32)
     rhoj_inv = 1.0 / jnp.where(rho_c > 0.0, rho_c, 1.0)
     p_j = (rho_c - _f32(cfg.rho0)) * _f32(cfg.stiffness)
@@ -878,17 +1116,39 @@ def force_sweep_t(cfg: SphConfig, p: PreparedT, rho_s: jnp.ndarray,
     pad = jnp.zeros((_n_pad_rows(cfg, cand.shape[0]) - cand.shape[0],
                      cand.shape[1]), jnp.float32)
     pad = pad.at[:, 0:3].set(1e30).at[:, 8].set(-10.0).at[:, 11].set(-1.0)
-    cand = jnp.concatenate([cand, pad], axis=0)
+    return jnp.concatenate([cand, pad], axis=0)
+
+
+def fused_sweep_t(cfg: SphConfig, p: PreparedT, rho_sub: jnp.ndarray,
+                  pv_sub) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One fused window pass: (acc_s hydro-only, rho_s, ncount_s) for all N.
+
+    ``rho_sub`` is the pre-pass output (``density_sub_t``); candidate
+    pressures derive from it instead of from a separate full density sweep.
+    """
+    n = p.pos_s.shape[0]
+    b = _blane(cfg)
+    n_rows = -(-n // b) * b
+    cand = fused_cand_cols(cfg, pv_sub[:, 0:3], pv_sub[:, 3:6], rho_sub,
+                           p.wm_sub, p.cand_cid_f,
+                           p.sub_perm.astype(jnp.float32))
     selfc = jnp.concatenate(
-        [p.pos_s, p.vel_s, p.mass_s[:, None], rho_s[:, None],
-         p.cid_f[:, None]], axis=1)
-    acc_rows = _run_chunked(
-        cfg, p, _force_kernel_t, cand, selfc,
-        out_specs=pl.BlockSpec((3, _blane(cfg)), lambda i, *_: (0, i),
-                               memory_space=pltpu.VMEM),
-        make_out_shape=lambda rows: jax.ShapeDtypeStruct((3, rows), jnp.float32),
+        [p.pos_s, p.vel_s, p.mass_s[:, None], p.cid_f[:, None]], axis=1)
+    acc_rows, rho_blocks, nc_blocks = _run_chunked(
+        cfg, (p.ws, p.wc, p.ref), n, _fused_kernel_t, cand, selfc,
+        out_specs=(
+            pl.BlockSpec((3, b), lambda i, *_: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b), lambda i, *_: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b), lambda i, *_: (0, i), memory_space=pltpu.VMEM),
+        ),
+        make_out_shape=lambda rows: (
+            jax.ShapeDtypeStruct((3, rows), jnp.float32),
+            jax.ShapeDtypeStruct((1, rows), jnp.float32),
+            jax.ShapeDtypeStruct((1, rows), jnp.int32),
+        ),
     )
-    return acc_rows[:, :n].T
+    return (acc_rows[:, :n].T, rho_blocks.reshape(n_rows)[:n],
+            nc_blocks.reshape(n_rows)[:n])
 
 
 def sweeps_sorted(cfg: SphConfig, p: PreparedT
@@ -897,10 +1157,18 @@ def sweeps_sorted(cfg: SphConfig, p: PreparedT
 
     The sorted-frame contract lets the lazy driver (``ops.lazy``) keep state
     permanently sorted and skip the inverse permutation entirely.
+
+    Capped mode with ``cfg.capped_fused`` runs the single fused pass fed by
+    the sub-frame density pre-pass instead of the two full sweeps.
     """
-    pv_sub = gather_sub_pv(p) if cfg.capped_candidates else None
-    rho_s, ncount_s = density_sweep_t(cfg, p, pv_sub=pv_sub)
-    acc_s = force_sweep_t(cfg, p, rho_s, pv_sub=pv_sub)
+    if cfg.capped_candidates and cfg.capped_fused:
+        pv_sub = gather_sub_pv(p)
+        rho_sub = density_sub_t(cfg, p, pv_sub)
+        acc_s, rho_s, ncount_s = fused_sweep_t(cfg, p, rho_sub, pv_sub)
+    else:
+        pv_sub = gather_sub_pv(p) if cfg.capped_candidates else None
+        rho_s, ncount_s = density_sweep_t(cfg, p, pv_sub=pv_sub)
+        acc_s = force_sweep_t(cfg, p, rho_s, pv_sub=pv_sub)
     acc_s = acc_s + physics.central_gravity(cfg, p.pos_s)
     acc_s = acc_s + jnp.asarray(cfg.gravity, jnp.float32)
     acc_s = physics.cfl_clamp(cfg, acc_s)

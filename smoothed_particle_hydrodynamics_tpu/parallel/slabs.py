@@ -747,6 +747,93 @@ def _pallas_force_local_capped(cfg: SphConfig, ext, g8, cid_ext, rho_e, rho_l,
     return physics.cfl_clamp(cfg, acc)
 
 
+def _pallas_density_sub_local(cfg: SphConfig, g8, sub_src, cand_cid_f,
+                              w_sub, ws_s, wc_s, sub_len: int):
+    """Fused-path pre-pass: capped density of the SUB-frame rows themselves
+    (the only densities the fused force terms need — see
+    ``pallas_step_t._fused_kernel_t``).  Self rows carry the TRUE mass and
+    the extended-frame row for src-vs-src self-exclusion."""
+    from functools import partial as _partial
+
+    from jax.experimental import pallas as pl
+
+    from ..ops import pallas_step_t as pt
+
+    sub_pad = _sub_pad(cfg, sub_len)
+    b = pt._blane(cfg)
+    m_t = g8[:, _MASS] * w_sub
+    src_f = sub_src.astype(jnp.float32)
+    cand = jnp.concatenate(
+        [g8[:, 0:3], cand_cid_f[:, None], m_t[:, None], src_f[:, None]],
+        axis=1)
+    pad = jnp.zeros((sub_pad - sub_len, 6), jnp.float32) \
+        .at[:, 0:3].set(_BIG).at[:, 3].set(-10.0).at[:, 5].set(-1.0)
+    fields = pt._pad_rows(jnp.concatenate([cand, pad], axis=0), sub_pad,
+                          pt.LANE)
+    selfrows = jnp.concatenate(
+        [g8[:, 0:3], g8[:, _MASS:_MASS + 1], cand_cid_f[:, None],
+         src_f[:, None]], axis=1).T
+    nblocks = -(-sub_len // b)
+    selfrows = jnp.pad(selfrows, ((0, 0), (0, nblocks * b - sub_len)))
+    out_specs = (
+        pl.BlockSpec((1, b), lambda i, *_: (0, i), memory_space=pt.pltpu.VMEM),
+        pl.BlockSpec((1, b), lambda i, *_: (0, i), memory_space=pt.pltpu.VMEM),
+    )
+    rho, _ = _slab_chunked_call(
+        cfg, _partial(pt._density_kernel_t, self_src_row=5), 6,
+        cfg.pallas_window_t, 0, nblocks,
+        ws_s, wc_s, jnp.zeros((nblocks * 3,), jnp.float32), fields, selfrows,
+        out_specs,
+        lambda rows: (jax.ShapeDtypeStruct((1, rows), jnp.float32),
+                      jax.ShapeDtypeStruct((1, rows), jnp.int32)))
+    return rho.reshape(-1)[:sub_len]
+
+
+def _pallas_fused_local_capped(cfg: SphConfig, ext, g8, cid_ext, rho_cand,
+                               ws, wc, sub_src, cand_cid_f, w_sub,
+                               h_cap: int, p_cap: int, sub_len: int):
+    """One fused pass: (acc_l, rho_l, nc_l) for all local rows.  ``rho_cand``
+    holds the per-sub-row densities (pre-pass locally, halo values from the
+    neighbor's scattered exchange)."""
+    from jax.experimental import pallas as pl
+
+    from ..ops import pallas_step_t as pt
+    from ..ops import physics
+
+    b = pt._blane(cfg)
+    m_t = g8[:, _MASS] * w_sub
+    src_f = sub_src.astype(jnp.float32)
+    fields = pt._pad_rows(
+        pt.fused_cand_cols(cfg, g8[:, 0:3], g8[:, 3:6], rho_cand, m_t,
+                           cand_cid_f, src_f),
+        _sub_pad(cfg, sub_len), pt.LANE)
+    loc = slice(h_cap, h_cap + p_cap)
+    cid_f = cid_ext.astype(jnp.float32)
+    selfrows = jnp.concatenate(
+        [ext[loc, 0:3], ext[loc, 3:6], ext[loc, _MASS:_MASS + 1],
+         cid_f[loc][:, None]], axis=1).T
+    nblocks = p_cap // b
+    first = jnp.arange(nblocks, dtype=jnp.int32) * b + h_cap
+    ref = ext[first, 0:3].reshape(-1)
+    out_specs = (
+        pl.BlockSpec((3, b), lambda i, *_: (0, i), memory_space=pt.pltpu.VMEM),
+        pl.BlockSpec((1, b), lambda i, *_: (0, i), memory_space=pt.pltpu.VMEM),
+        pl.BlockSpec((1, b), lambda i, *_: (0, i), memory_space=pt.pltpu.VMEM),
+    )
+    acc_rows, rho, nc = _slab_chunked_call(
+        cfg, pt._fused_kernel_t, 8, cfg.pallas_window_t, h_cap, nblocks,
+        ws, wc, ref, fields, selfrows, out_specs,
+        lambda rows: (jax.ShapeDtypeStruct((3, rows), jnp.float32),
+                      jax.ShapeDtypeStruct((1, rows), jnp.float32),
+                      jax.ShapeDtypeStruct((1, rows), jnp.int32)))
+    acc = acc_rows.T
+    pos_l = ext[loc, 0:3]
+    acc = acc + physics.central_gravity(cfg, pos_l)
+    acc = acc + jnp.asarray(cfg.gravity, jnp.float32)
+    return (physics.cfl_clamp(cfg, acc), rho.reshape(-1)[:p_cap],
+            nc.reshape(-1)[:p_cap])
+
+
 def slab_step_body(cfg: SphConfig, ndev: int, p_cap: int, h_cap: int,
                    m_cap: int, chunk: int, sweeps: str,
                    zsplit: tuple[int, ...], lazy: bool, sub_len: int,
@@ -925,14 +1012,32 @@ def slab_step_body(cfg: SphConfig, ndev: int, p_cap: int, h_cap: int,
     # ---- frozen window tables (rebins only) --------------------------------
     row_valid = ext[h_cap:h_cap + p_cap, _OID] >= 0.0
     capped = bool(cfg.capped_candidates) and sweeps == "pallas"
+    fused = bool(cfg.capped_fused)
     if capped:
         def build_tabs(_):
+            from ..ops import pallas_step_t as pt
+
             sub_src, cand_cid_f, cid_search, w_sub, dropped = \
                 _capped_sub_frame(cfg, ext, cid_ext, sub_len,
                                   slab_lo, slab_hi)
             ws, wc = _pallas_sub_tables(cfg, cid_s, cid_search, sub_len,
                                         cnt2, tab_base, tab_cells)
-            return (ws, wc, sub_src, cand_cid_f, w_sub, dropped[None])
+            if not fused:
+                return (ws, wc, sub_src, cand_cid_f, w_sub, dropped[None])
+            # fused path: window tables for the SUB-frame blocks too (the
+            # density pre-pass sweeps the sub frame from the sub frame)
+            b = pt._blane(cfg)
+            nblocks_sub = -(-sub_len // b)
+            cid_sub_loc = jnp.concatenate(
+                [cid_search,
+                 jnp.full((nblocks_sub * b - sub_len,), cfg.num_cells,
+                          jnp.int32)])
+            n_kept = jnp.sum((cand_cid_f >= 0).astype(jnp.int32))
+            ws_s, wc_s = _pallas_sub_tables(cfg, cid_sub_loc, cid_search,
+                                            sub_len, n_kept, tab_base,
+                                            tab_cells)
+            return (ws, wc, sub_src, cand_cid_f, w_sub, dropped[None],
+                    ws_s, wc_s)
     elif sweeps == "pallas":
         def build_tabs(_):
             return _pallas_tables(cfg, cid_s, cid_ext, h_cap, p_cap,
@@ -949,7 +1054,23 @@ def slab_step_body(cfg: SphConfig, ndev: int, p_cap: int, h_cap: int,
     vel_i = fields_s[:, _VEL]
     mass_i = fields_s[:, _MASS]
 
-    if capped:
+    if capped and fused:
+        ws2, wc2, sub_src, cand_cid_f, w_sub, dropped1, ws_s, wc_s = tabs2
+        g8 = ext[sub_src]          # one shared [S,8] gather for the pass
+        rho_sub = _pallas_density_sub_local(
+            cfg, g8, sub_src, cand_cid_f, w_sub, ws_s, wc_s, sub_len)
+        # scatter kept LOCAL sub densities into local-row layout: the edge
+        # exchange below then ships exactly the rows the fields halo ships,
+        # so halo candidates read their owner's pre-pass value
+        local_idx = sub_src - h_cap
+        is_local = ((cand_cid_f >= 0) & (local_idx >= 0)
+                    & (local_idx < p_cap))
+        idx = jnp.where(is_local, local_idx, p_cap)
+        rho_l = jnp.zeros((p_cap + 1,), jnp.float32).at[idx].set(
+            jnp.where(is_local, rho_sub, 0.0))[:p_cap]
+        nc_l = None                        # fused sweep emits the real ones
+        trunc = dropped1[0]
+    elif capped:
         ws2, wc2, sub_src, cand_cid_f, w_sub, dropped1 = tabs2
         g8 = ext[sub_src]          # one shared [S,8] gather for both sweeps
         rho_l, nc_l = _pallas_density_local_capped(
@@ -979,7 +1100,15 @@ def slab_step_body(cfg: SphConfig, ndev: int, p_cap: int, h_cap: int,
     rho_right = jnp.where(d == ndev - 1, 0.0, rho_right)
     rho_e = jnp.concatenate([rho_left, rho_l, rho_right])
 
-    if capped:
+    if capped and fused:
+        # candidate densities: local sub rows read back their own pre-pass
+        # value, halo sub rows the neighbor's (same kept set both sides —
+        # _capped_sub_frame's oid tie-break)
+        rho_cand = rho_e[sub_src]
+        acc_l, rho_l, nc_l = _pallas_fused_local_capped(
+            cfg, ext, g8, cid_ext, rho_cand, ws2, wc2, sub_src,
+            cand_cid_f, w_sub, h_cap, p_cap, sub_len)
+    elif capped:
         acc_l = _pallas_force_local_capped(
             cfg, ext, g8, cid_ext, rho_e, rho_l, ws2, wc2, sub_src,
             cand_cid_f, w_sub, h_cap, p_cap, sub_len)
@@ -1077,6 +1206,11 @@ def _table_zeros(cfg: SphConfig, sweeps: str, ndev: int, p_cap: int,
                      jnp.zeros((ndev * sub_len,), jnp.float32),
                      jnp.zeros((ndev * sub_len,), jnp.float32),
                      jnp.zeros((ndev,), jnp.int32))
+            if cfg.capped_fused:
+                ssize = (-(-sub_len // pt._blane(cfg))
+                         * cfg.pallas_groups * pt._nrods(cfg))
+                tabs += (jnp.zeros((ndev * ssize,), jnp.int32),
+                         jnp.zeros((ndev * ssize,), jnp.int32))
         return tabs
     return (jnp.zeros((ndev * p_cap, 9), jnp.int32),
             jnp.zeros((ndev * p_cap, 9), jnp.int32))

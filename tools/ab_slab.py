@@ -53,6 +53,39 @@ VARIANTS = [
     # test whether the derived window still carries slack at big csf
     ("csf3.0+sb32+w64", {"cell_size_factor": 3.0, "_scan_block": 32,
                          "pallas_window_t": 64}),
+    # r5 session 3b: the ablation anatomy (docs/ROUND5.md #12) shows the
+    # sweeps are visit-fixed-cost bound at this load; block512 halves the
+    # (block, rod) visit count, and at csf >= 3 the K4 windows stay under
+    # the 64-row chunk floor even at double block extent (unlike csf <= 1.75
+    # where block512 measured a loss)
+    ("csf3.0+sb32+b512", {"cell_size_factor": 3.0, "_scan_block": 32,
+                          "pallas_block_t": 512}),
+    ("csf3.0+sb64+b512", {"cell_size_factor": 3.0, "_scan_block": 64,
+                          "pallas_block_t": 512}),
+    ("csf4.0+sb64+b512", {"cell_size_factor": 4.0, "_scan_block": 64,
+                          "pallas_block_t": 512}),
+    ("csf4.0+sb64+b512+w40", {"cell_size_factor": 4.0, "_scan_block": 64,
+                              "pallas_block_t": 512, "pallas_window_t": 40}),
+    # (b1024 was tried here and removed: Mosaic compile crash at csf3/4,
+    # slower than b512 at csf5 — see _validate's note in pallas_step_t)
+    ("csf5.0+sb64+b512", {"cell_size_factor": 5.0, "_scan_block": 64,
+                          "pallas_block_t": 512}),
+    ("csf6.0+sb64+b512", {"cell_size_factor": 6.0, "_scan_block": 64,
+                          "pallas_block_t": 512}),
+    ("csf5.0+sb128+b512", {"cell_size_factor": 5.0, "_scan_block": 128,
+                           "pallas_block_t": 512}),
+    ("csf4.0+sb128+b512", {"cell_size_factor": 4.0, "_scan_block": 128,
+                           "pallas_block_t": 512}),
+    # r5 session 3c: the fused capped sweep (one pass computes density AND
+    # force, fed by the sub-frame density pre-pass — pallas_step_t
+    # _fused_kernel_t); removes the full density sweep's visits
+    ("csf4.0+sb64+b512+fused", {"cell_size_factor": 4.0, "_scan_block": 64,
+                                "pallas_block_t": 512, "capped_fused": True}),
+    ("csf5.0+sb64+b512+fused", {"cell_size_factor": 5.0, "_scan_block": 64,
+                                "pallas_block_t": 512, "capped_fused": True}),
+    ("csf2.5+sb32+fused", {"cell_size_factor": 2.5, "_scan_block": 32,
+                           "capped_fused": True}),
+    ("csf1.25+sb8+fused", {"_scan_block": 8, "capped_fused": True}),
 ]
 
 SETTLE_CALLS = 2
