@@ -86,6 +86,14 @@ VARIANTS = [
     ("csf2.5+sb32+fused", {"cell_size_factor": 2.5, "_scan_block": 32,
                            "capped_fused": True}),
     ("csf1.25+sb8+fused", {"_scan_block": 8, "capped_fused": True}),
+    ("csf6.0+sb64+b512+fused", {"cell_size_factor": 6.0, "_scan_block": 64,
+                                "pallas_block_t": 512, "capped_fused": True}),
+    ("csf6.0+sb128+b512+fused", {"cell_size_factor": 6.0, "_scan_block": 128,
+                                 "pallas_block_t": 512, "capped_fused": True}),
+    ("csf5.0+sb128+b512+fused", {"cell_size_factor": 5.0, "_scan_block": 128,
+                                 "pallas_block_t": 512, "capped_fused": True}),
+    ("csf8.0+sb128+b512+fused", {"cell_size_factor": 8.0, "_scan_block": 128,
+                                 "pallas_block_t": 512, "capped_fused": True}),
 ]
 
 SETTLE_CALLS = 2

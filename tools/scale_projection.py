@@ -99,6 +99,9 @@ def main() -> int:
     ap.add_argument("--rows", default="slab_1dev,slab_capped_k4")
     ap.add_argument("--out", default=os.path.join(REPO, "docs",
                                                   "scale_projection.json"))
+    ap.add_argument("--append", action="store_true",
+                    help="keep rows already in --out (per-size row lists "
+                         "differ, so the artifact is built in passes)")
     args = ap.parse_args()
     # a row spec is "name" or "name:k=v:k=v" — the k=v tail is forwarded as
     # bench.py --ov dial overrides and recorded in the row (e.g. the capped
@@ -108,23 +111,37 @@ def main() -> int:
     rows = []
     for spec in args.rows.split(","):
         name, *ovs = spec.split(":")
-        rows.append((name, ovs))
+        # "scan_block=K" in a spec overrides the per-size dispatch policy
+        # (e.g. the fused b512 ladder rows measured best at sb64)
+        sb_ov = [o for o in ovs if o.startswith("scan_block=")]
+        ovs = [o for o in ovs if not o.startswith("scan_block=")]
+        rows.append((name, ovs, int(sb_ov[-1].split("=")[1]) if sb_ov else 0))
     d = args.chips
+
+    # measured capped-noise ladder at 1M (rel-L2 of capped-K4-reweighted
+    # density vs the exact oracle on the same state; mean stays unbiased):
+    # docs/PERFORMANCE.md #36/#41, docs/noise_ladder_r5.log
+    NOISE = {1.25: 0.36, 2.0: 0.758, 2.5: 1.204, 4.0: 2.55, 5.0: 3.52,
+             6.0: 4.17}
 
     # slab-proxy geometry: each chip of a D-mesh owns nz/D planes of the
     # full 128-plane splash box (grid_nz must stay >= 2 and divide evenly)
     grid_nz = 128 // d if 128 % d == 0 and 128 // d >= 2 else 0
 
     results = []
+    if args.append and os.path.exists(args.out):
+        with open(args.out) as f:
+            results = json.load(f)["rows"]
     for n in sizes:
-        for row, ovs in rows:
+        for row, ovs, sb_spec in rows:
             # dispatch amortization: the slab step pays a ~24 ms/call
             # overhead on the axon tunnel (docs/ab_slab125_sb.log: sb8 8.1 ->
             # sb16 6.5 -> sb32 5.7 ms/step at 125k/chip; the non-slab lazy
             # driver pipelines dispatches and shows NO sb effect at 1M).
             # Larger K amortizes it; rebins stay in-graph so physics cadence
             # is unchanged (slabs.py scan body).
-            scan_block = 32 if n <= 250_000 else (16 if n <= 500_000 else 8)
+            scan_block = sb_spec or (
+                32 if n <= 250_000 else (16 if n <= 500_000 else 8))
             label = row + ("".join("+" + o for o in ovs) if ovs else "")
             print(f"measuring {label} @ n/chip={n} grid_nz={grid_nz} "
                   f"scan_block={scan_block} ...", flush=True)
@@ -132,8 +149,13 @@ def main() -> int:
             if r is None:
                 continue
             ms = r["ms_per_step"]
+            csf = next((float(o.split("=")[1]) for o in ovs
+                        if o.startswith("cell_size_factor=")),
+                       1.25 if "capped" in row else None)
             rec = {"row": label, "n_per_chip": n, "grid_nz": grid_nz,
                    "scan_block": scan_block,
+                   **({"noise_rel_l2_1m": NOISE[csf]}
+                      if csf in NOISE and "capped" in row else {}),
                    "ms_per_step": ms,
                    "pps_per_chip": n / ms * 1e3,
                    "aggregate_n": n * d,
